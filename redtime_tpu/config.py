@@ -1,0 +1,151 @@
+"""Typed configuration for the solver.
+
+The reference scatters configuration over three tiers: the positional
+`params_redTime.dat` file (reference `AU_cosmological_parameters.h:231-353`),
+compile-time constants/ifdefs (`src/redTime.cc:64-157`), and shell-level CLI
+derivations (`scripts/runRedTime:98-119`).  Here everything is a typed,
+hashable config:
+
+  * `SolverConfig` — static (trace-time) numerical configuration: grid sizes,
+    windows, tolerances, print switches.  Hashable so it can be a jit static
+    argument.
+  * `CosmoParams`  — the 9 cosmological parameters, a pytree of scalars so a
+    batch of cosmologies is just a stacked pytree (vmap/pjit axis).
+  * `RunSettings`  — per-run evolution settings (mode switches, z_in, output
+    redshifts).  Mode switches are static; redshifts are arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+
+# Physical constants (reference AU_cosmological_parameters.h:64-66)
+C_RHO_GAM = 4.46911743913795e-07  # Omega_gamma * h^2 / T_cmb[K]^4
+C_NU_HOT = 0.681321952980717      # 3*(7/8)*(4/11)^(4/3)
+H0H = 0.00033356754857714242474   # H0 / (h/Mpc)   (reference redTime.cc:69)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static numerical configuration (trace-time constants).
+
+    Defaults reproduce the reference's default (non-HIGH_ACCURACY) build:
+    reference `src/redTime.cc:90-145`.
+    """
+
+    # --- k grid (reference redTime.cc:90-110) ---
+    nk: int = 128
+    np_factor: int = 4           # extended FFT grid: np = np_factor * nk
+    kmin: float = 1e-3           # h/Mpc
+    kmax: float = 1.0            # h/Mpc
+
+    # window taper zones, in units of nk/16 (reference redTime.cc:102-103;
+    # note the reference compiles the "np=8*nk" values even for np=4*nk,
+    # which pushes the right taper off-grid — reproduced faithfully)
+    s_padL: int = 23
+    s_tapL: int = 9
+    s_extL: int = 24
+    s_extR: int = 24
+    s_tapR: int = 9
+
+    # --- FAST-PT (reference redTime.cc:71-72, 599-600) ---
+    nu_bias: float = -2.0        # FFT-log bias exponent nu
+    z_taylor_eps: float = 1e-2   # Z-kernel Taylor switch at r<eps or r>1/eps
+    z_taylor_terms: int = 10
+
+    # --- eta (time) integration tolerances (reference redTime.cc:140-145) ---
+    eabs_P: float = 1e-7
+    erel_P: float = 1e-2
+
+    # --- 1-loop mode evaluation redshift (reference redTime.cc:1285) ---
+    z1l: float = 10.0
+
+    # --- growth tables (reference AU_cosmological_parameters.h:644-697) ---
+    growth_n_lna: int = 100
+    growth_n_lnk: int = 50
+    growth_a_min: float = 1e-3
+    growth_a_max: float = 1.1
+    growth_k_min: float = 1.5e-4
+    growth_k_max: float = 9.0
+    a_early: float = 1e-20
+    growth_rtol: float = 1e-6    # reference uses rk8pd rel 1e-6 (:173)
+
+    # --- beta_P clamping (reference AU_cosmological_parameters.h:536-537) ---
+    beta_k_min: float = 1e-3
+    beta_k_max: float = 1.0
+
+    # --- sigma_8 / sigma_v^2 quadrature over lnk in [-15, 15]
+    #     (reference AU_cosmological_parameters.h:849-874) ---
+    quad_lnk_lo: float = -15.0
+    quad_lnk_hi: float = 15.0
+    quad_panels: int = 256       # Gauss-Legendre panels
+    quad_order: int = 16         # points per panel
+
+    # --- output print switches (reference redTime.cc:64-65) ---
+    print_a: bool = False        # PRINTA
+    print_i: bool = False        # PRINTI
+    print_q: bool = False        # PRINTQ
+    print_bias: bool = False     # PRINTBIAS
+
+    # --- backend ---
+    fft_mode: str = "auto"       # 'auto' | 'fft' | 'matmul'
+
+    @property
+    def npts(self) -> int:
+        return self.np_factor * self.nk
+
+    @property
+    def nshift(self) -> int:
+        return (self.npts - self.nk) // 2
+
+
+class CosmoParams(NamedTuple):
+    """The 9 cosmological input parameters (reference params_redTime.dat
+    schema, `AU_cosmological_parameters.h:325-333`).  A pytree of scalars."""
+
+    n_s: jnp.ndarray
+    sigma_8: jnp.ndarray
+    h: jnp.ndarray
+    Omega_m: jnp.ndarray
+    Omega_b: jnp.ndarray
+    Omega_nu: jnp.ndarray
+    T_cmb: jnp.ndarray
+    w0: jnp.ndarray
+    wa: jnp.ndarray
+
+    @classmethod
+    def make(cls, n_s, sigma_8, h, Omega_m, Omega_b, Omega_nu,
+             T_cmb=2.726, w0=-1.0, wa=0.0) -> "CosmoParams":
+        return cls(*[jnp.asarray(v, dtype=jnp.float64)
+                     for v in (n_s, sigma_8, h, Omega_m, Omega_b, Omega_nu,
+                               T_cmb, w0, wa)])
+
+
+@dataclasses.dataclass(frozen=True)
+class RunSettings:
+    """Per-run evolution settings.
+
+    Mode switches mirror the four integer switches of params_redTime.dat
+    (reference `AU_cosmological_parameters.h:336-339`); z values mirror the
+    z_initial / output-redshift entries.
+    """
+
+    nonlinear: bool = True       # SWITCH_NONLINEAR
+    one_loop: bool = True        # SWITCH_1LOOP
+    print_lin: bool = True       # PRINTLIN
+    print_rsd: bool = True       # PRINTRSD
+    z_in: float = 200.0
+    z_out: Sequence[float] = (5.0, 4.0, 3.0, 2.0, 1.0, 0.5, 0.0)
+
+    @property
+    def a_in(self) -> float:
+        return 1.0 / (1.0 + self.z_in)
+
+    def etasteps(self):
+        """eta = ln(a/a_in) of each output redshift."""
+        import numpy as np
+        a = 1.0 / (1.0 + np.asarray(self.z_out, dtype=np.float64))
+        return np.log(a / self.a_in)

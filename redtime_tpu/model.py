@@ -1,0 +1,367 @@
+"""Per-cosmology model preparation: growth tables, beta_P, linear power.
+
+This replaces the reference's lazily-initialized `cosmological_parameters`
+singleton (`AU_cosmological_parameters.h`, process-lifetime static caches)
+with an explicit, jitted, vmappable `prepare_model` step returning a `Model`
+pytree.  All tables the C++ builds on first call — the (lna, lnk) growth
+tables (:639-731), the beta_P neutrino table (:513-630), the transfer table
+(:790-832), the sigma_8 normalization (:834-891) — become arrays carried in
+the pytree, pre-reduced onto the static solver k-grid so the hot path does
+only 1-D dynamic interpolation in time.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from redtime_tpu import background as bg
+from redtime_tpu import interp
+from redtime_tpu.config import CosmoParams, SolverConfig
+from redtime_tpu.grids import Grids, make_grids
+from redtime_tpu.io.camb import LinearData
+from redtime_tpu.ode import DOPRI5, integrate_interval
+
+
+class Model(NamedTuple):
+    """Prepared per-cosmology state (a pytree; batch = stacked Models)."""
+
+    cosmo: CosmoParams
+    # growth tables, k-axis already reduced to the solver grid
+    # (reference builds (n_lna+1) x (n_lnk+1) tables, :661-724)
+    g_lna: jnp.ndarray       # [n_lna+1]
+    g_G: jnp.ndarray         # [n_lna+1, nk]   G = D/a (unnormalized)
+    g_dDda: jnp.ndarray      # [n_lna+1, nk]
+    g_Dnorm: jnp.ndarray     # [nk]            G interpolated at lna=0
+    # beta_P table reduced over k to the solver grid (raw delta_nu/delta_c;
+    # multiply by f_nu at evaluation)
+    beta_a: jnp.ndarray      # [nz]
+    beta_solver: jnp.ndarray  # [nz, nk]
+    # z=0 cb transfer function at the solver grid (normalized to T(k_min)=1)
+    T_solver: jnp.ndarray    # [nk]
+    # scalars
+    norm: jnp.ndarray        # sigma_8 normalization of P_lin
+    sigmaV2_z0: jnp.ndarray  # velocity dispersion at z=0
+
+    @property
+    def f_nu(self):
+        return self.cosmo.Omega_nu / self.cosmo.Omega_m
+
+    @property
+    def f_cb(self):
+        return 1.0 - self.f_nu
+
+
+# ---------------------------------------------------------------------------
+# static helpers (numpy, cached per config)
+
+@functools.lru_cache(maxsize=8)
+def growth_nodes(cfg: SolverConfig):
+    """Growth-table axes (reference :677-687): lna in [ln a_min, ln a_max],
+    lnk in [ln k_min, ln k_max], inclusive endpoints."""
+    lna_min = np.log(cfg.growth_a_min)
+    dlna = np.log(cfg.growth_a_max / cfg.growth_a_min) / cfg.growth_n_lna
+    lna = lna_min + dlna * np.arange(cfg.growth_n_lna + 1)
+    lnk_min = np.log(cfg.growth_k_min)
+    dlnk = np.log(cfg.growth_k_max / cfg.growth_k_min) / cfg.growth_n_lnk
+    lnk = lnk_min + dlnk * np.arange(cfg.growth_n_lnk + 1)
+    return lna, lnk
+
+
+@functools.lru_cache(maxsize=8)
+def growth_k_reduction(cfg: SolverConfig) -> np.ndarray:
+    """Static weight matrix W [nk, n_lnk+1]: growth-table values at the
+    solver k-grid = table @ W.T, using the tabulated_function y-axis rules
+    (k clamped to the table range, reference :651-659)."""
+    grids = make_grids(cfg)
+    _, lnk_nodes = growth_nodes(cfg)
+    lnk_q = np.clip(grids.lnk, np.log(cfg.growth_k_min),
+                    np.log(cfg.growth_k_max))
+    return interp.weight_matrix_np(lnk_nodes, lnk_q)
+
+
+@functools.lru_cache(maxsize=8)
+def quad_nodes(cfg: SolverConfig):
+    """Composite Gauss-Legendre nodes/weights on [quad_lnk_lo, quad_lnk_hi].
+
+    Replaces gsl_integration_qag (key=6, rel 1e-4; reference :849-874) with a
+    fixed-order panel rule whose actual error is far below the reference's
+    requested tolerance; the integrands are smooth except for a negligible
+    oscillatory UV tail.
+    """
+    x, w = np.polynomial.legendre.leggauss(cfg.quad_order)
+    edges = np.linspace(cfg.quad_lnk_lo, cfg.quad_lnk_hi, cfg.quad_panels + 1)
+    lo, hi = edges[:-1, None], edges[1:, None]
+    nodes = (0.5 * (hi - lo) * x[None, :] + 0.5 * (hi + lo)).ravel()
+    weights = (0.5 * (hi - lo) * w[None, :]).ravel()
+    return nodes, weights
+
+
+# ---------------------------------------------------------------------------
+# beta_P evaluation
+
+def _beta_reduce_k(lin: LinearData, k_query: np.ndarray) -> jnp.ndarray:
+    """Reduce the raw beta table over its k axis at the (clamped) query
+    points -> [nz, len(k_query)].  The 2-D tabulated_function interpolation
+    is separable, so reducing one axis first is exact."""
+    if lin.beta_raw.shape[0] == 0:
+        return jnp.zeros((0, len(k_query)))
+
+    def one(kq):
+        i0, w = interp.axis_weights(lin.beta_k, kq)
+        block = jax.lax.dynamic_slice(
+            lin.beta_raw, (0, i0), (lin.beta_raw.shape[0], 4))
+        return block @ w
+
+    return jax.vmap(one, out_axes=1)(jnp.asarray(k_query))
+
+
+def beta_raw_at_a(beta_a, beta_cols, a):
+    """Interpolate the k-reduced beta table in a (tabulated_function x-axis
+    rules; linear extrapolation below the first node).  a must already obey
+    the reference clamps.  Returns beta/f_nu values, shape beta_cols.shape[1:].
+    """
+    i0, w = interp.axis_weights(beta_a, a)
+    block = jax.lax.dynamic_slice(
+        beta_cols, (i0,) + (0,) * (beta_cols.ndim - 1),
+        (4,) + beta_cols.shape[1:])
+    return jnp.tensordot(w, block, axes=1)
+
+
+def beta_P_solver(model: Model, a):
+    """beta_P(a, k) on the solver grid [nk] (reference :513-637).
+
+    Clamps: a > 1 evaluates at a = 1; returns 0 when f_nu < 1e-10 or the
+    table is empty (static).  k was clamped at reduction time.
+    """
+    if model.beta_a.shape[0] == 0:
+        return jnp.zeros(model.beta_solver.shape[1])
+    a_c = jnp.minimum(a, 1.0)
+    raw = beta_raw_at_a(model.beta_a, model.beta_solver, a_c)
+    return jnp.where(model.f_nu < 1e-10, 0.0, model.f_nu * raw)
+
+
+# ---------------------------------------------------------------------------
+# growth ODE
+
+def _growth_rhs(c: CosmoParams, d, f_nu, beta_a, beta_col, a, y):
+    """d/da of (D, dD/da) (reference :133-158, F_MG = 0).
+
+    beta_col: k-reduced beta values [nz] at this ODE's k node."""
+    F0 = 1.5 * c.Omega_m / (a ** 5 * bg.H2_H02(c, a, d))
+    F1 = (3.0 + bg.dlnH_dlna(c, a, d)) / a
+    if beta_a.shape[0] == 0:
+        beta = jnp.where(a < 1e-3, f_nu, 0.0)
+    else:
+        tab = f_nu * beta_raw_at_a(beta_a, beta_col, jnp.minimum(a, 1.0))
+        beta = jnp.where(a < 1e-3, f_nu,
+                         jnp.where(f_nu < 1e-10, 0.0, tab))
+    fc = 1.0 - f_nu
+    return jnp.stack([y[1], -F1 * y[1] + F0 * (fc + beta) * y[0]])
+
+
+def build_growth_tables(cfg: SolverConfig, c: CosmoParams, lin: LinearData):
+    """Integrate the growth ODE over all k nodes (vmapped) and tabulate
+    G = D/a and dD/da on the (lna, lnk) grid (reference :661-724).
+
+    The reference OpenMP-parallelizes over k nodes (:690); here the whole
+    per-k state is one [n_k, 2] tensor advanced by a single jitted adaptive
+    integrator.
+    """
+    d = bg.derived(c)
+    f_nu = c.Omega_nu / c.Omega_m
+    lna_nodes, lnk_nodes = growth_nodes(cfg)
+    a_nodes = np.exp(lna_nodes)
+    k_nodes = np.exp(lnk_nodes)
+
+    # beta table reduced at the growth k nodes (clamped to the beta range)
+    kq = np.clip(k_nodes, cfg.beta_k_min, cfg.beta_k_max)
+    beta_cols = _beta_reduce_k(lin, kq)          # [nz, n_lnk+1]
+
+    rtol = cfg.growth_rtol
+    a_early = cfg.a_early
+    a_min = cfg.growth_a_min
+
+    def one_k(beta_col):
+        def rhs(a, y):
+            return _growth_rhs(c, d, f_nu, jnp.asarray(lin.beta_a),
+                               beta_col, a, y)
+
+        y0 = jnp.array([1.0, 1.0 / a_early])
+        # initial stretch a_early -> a_min; h0 = 1e-6 * a_begin per segment
+        # (reference integrate_growth :179)
+        y, _ = integrate_interval(rhs, a_early, a_min, y0, 1e-6 * a_early,
+                                  0.0, rtol, DOPRI5)
+        first = jnp.array([y[0] / a_min, y[1]])
+
+        def seg(y, ab):
+            a0, a1 = ab
+            y2, _ = integrate_interval(rhs, a0, a1, y, 1e-6 * a0,
+                                       0.0, rtol, DOPRI5)
+            return y2, jnp.array([y2[0] / a1, y2[1]])
+
+        segs = jnp.stack([jnp.asarray(a_nodes[:-1]),
+                          jnp.asarray(a_nodes[1:])], axis=1)
+        _, rows = jax.lax.scan(seg, y, segs)
+        return jnp.concatenate([first[None, :], rows], axis=0)  # [n_lna+1, 2]
+
+    if beta_cols.shape[0] == 0:
+        beta_cols_T = jnp.zeros((len(k_nodes), 0))
+    else:
+        beta_cols_T = beta_cols.T                # [n_lnk+1, nz]
+
+    tabs = jax.vmap(one_k)(beta_cols_T)          # [n_lnk+1, n_lna+1, 2]
+    G = tabs[:, :, 0].T                          # [n_lna+1, n_lnk+1]
+    dDda = tabs[:, :, 1].T
+    return lna_nodes, G, dDda
+
+
+# ---------------------------------------------------------------------------
+# linear power spectrum pieces
+
+def _transfer_lnT(c: CosmoParams, lin: LinearData):
+    """ln T_cb(ln k) table from the z=0 transfer file (reference :804-816):
+    T_cb = f_b_cb*T_b + (1-f_b_cb)*T_c, normalized to the first row."""
+    f_b_cb = c.Omega_b / (c.Omega_m - c.Omega_nu)
+    T = f_b_cb * lin.t_Tb + (1.0 - f_b_cb) * lin.t_Tc
+    return jnp.log(T / T[0])
+
+
+def transfer_at(c: CosmoParams, lin: LinearData, lnk_query):
+    """T_cb at query points (tabulated_function 1-D rules; linear
+    extrapolation of ln T beyond both table ends)."""
+    lnT = _transfer_lnT(c, lin)
+    return jnp.exp(interp.interp1_vec(jnp.asarray(lin.t_lnk), lnT,
+                                      jnp.asarray(lnk_query)))
+
+
+def sigma8_normalization(cfg: SolverConfig, c: CosmoParams, lin: LinearData,
+                         beta_quad_a1):
+    """Norm = sigma_8^2 / integral (reference :849-875).
+
+    Integrand (reference :204-217): W(kR)^2 T^2 F^2 k^(ns+3) / (2 pi^2) over
+    ln kR in [-15, 15], R = 8, F = f_cb + beta_P(a=1, k), with the Taylor-
+    switched window below kR = 1e-2.
+    """
+    nodes, weights = quad_nodes(cfg)
+    R = 8.0
+    kR = np.exp(nodes)
+    k = kR / R
+    T = transfer_at(c, lin, jnp.log(jnp.asarray(k)))
+    f_nu = c.Omega_nu / c.Omega_m
+    F = 1.0 - f_nu + beta_quad_a1
+    W = np.where(kR > 1e-2,
+                 3.0 * (np.sin(kR) / kR ** 3 - np.cos(kR) / kR ** 2),
+                 1.0 - 0.1 * kR * kR)
+    integrand = (W * W) * T * T * F * F * k ** (c.n_s + 3.0) / \
+        (2.0 * np.pi ** 2)
+    integral = jnp.dot(jnp.asarray(weights), integrand)
+    return c.sigma_8 ** 2 / integral
+
+
+def sigma_v2_z0(cfg: SolverConfig, c: CosmoParams, lin: LinearData,
+                norm, beta_quad_a1_full):
+    """sigma_v^2(z=0) = int k P_lin(0,k) dlnk / (6 pi^2) (reference
+    :932-962); P_lin(0,k) = Norm k^ns T^2 F^2 since D(0,k) == 1."""
+    nodes, weights = quad_nodes(cfg)
+    k = np.exp(nodes)
+    T = transfer_at(c, lin, jnp.asarray(nodes))
+    f_nu = c.Omega_nu / c.Omega_m
+    F = 1.0 - f_nu + beta_quad_a1_full
+    P = norm * k ** c.n_s * T * T * F * F
+    return jnp.dot(jnp.asarray(weights), jnp.asarray(k) * P) / \
+        (6.0 * np.pi ** 2)
+
+
+# ---------------------------------------------------------------------------
+# model assembly and evaluation
+
+def prepare_model(cfg: SolverConfig, c: CosmoParams,
+                  lin: LinearData) -> Model:
+    """Build all per-cosmology tables.  Jittable (cfg static)."""
+    grids = make_grids(cfg)
+
+    # growth tables, reduced over k onto the solver grid
+    lna_nodes, G, dDda = build_growth_tables(cfg, c, lin)
+    W = jnp.asarray(growth_k_reduction(cfg))     # [nk, n_lnk+1]
+    G_red = G @ W.T                              # [n_lna+1, nk]
+    dDda_red = dDda @ W.T
+    # Dnorm: G interpolated at lna = 0 per k column (reference :715-718)
+    i0, wx = interp.axis_weights(jnp.asarray(lna_nodes), jnp.asarray(0.0))
+    Dnorm = wx @ jax.lax.dynamic_slice(
+        G_red, (i0, 0), (4, G_red.shape[1]))     # [nk]
+
+    # beta table reduced at the solver grid (k clamped to beta range)
+    kq = np.clip(grids.k, cfg.beta_k_min, cfg.beta_k_max)
+    beta_solver = _beta_reduce_k(lin, kq)        # [nz, nk]
+
+    # transfer at the solver grid
+    T_solver = transfer_at(c, lin, jnp.asarray(grids.lnk))
+
+    # sigma_8 normalization and sigma_v^2(0): need beta_P(a=1, k) at the
+    # quadrature nodes (two different k mappings)
+    nodes, _ = quad_nodes(cfg)
+    f_nu = c.Omega_nu / c.Omega_m
+
+    def beta_a1_at(k_query):
+        if lin.beta_raw.shape[0] == 0:
+            return jnp.zeros(len(k_query))
+        cols = _beta_reduce_k(
+            lin, np.clip(k_query, cfg.beta_k_min, cfg.beta_k_max))
+        raw = beta_raw_at_a(jnp.asarray(lin.beta_a), cols, jnp.asarray(1.0))
+        return jnp.where(f_nu < 1e-10, 0.0, f_nu * raw)
+
+    beta_q_s8 = beta_a1_at(np.exp(nodes) / 8.0)
+    beta_q_sv = beta_a1_at(np.exp(nodes))
+
+    norm = sigma8_normalization(cfg, c, lin, beta_q_s8)
+    sv2 = sigma_v2_z0(cfg, c, lin, norm, beta_q_sv)
+
+    return Model(cosmo=c, g_lna=jnp.asarray(lna_nodes), g_G=G_red,
+                 g_dDda=dDda_red, g_Dnorm=Dnorm,
+                 beta_a=jnp.asarray(lin.beta_a), beta_solver=beta_solver,
+                 T_solver=T_solver, norm=norm, sigmaV2_z0=sv2)
+
+
+def growth_D_f(model: Model, z):
+    """D(z, k) and dD/da(z, k) on the solver grid (reference :727-730)."""
+    a = 1.0 / (1.0 + z)
+    lna0 = jnp.log(a)
+    i0, wx = interp.axis_weights(model.g_lna, lna0)
+    Gv = wx @ jax.lax.dynamic_slice(model.g_G, (i0, 0),
+                                    (4, model.g_G.shape[1]))
+    dDv = wx @ jax.lax.dynamic_slice(model.g_dDda, (i0, 0),
+                                     (4, model.g_dDda.shape[1]))
+    D = Gv * a / model.g_Dnorm
+    dDda = dDv / model.g_Dnorm
+    return D, dDda
+
+
+def plin_all(cfg: SolverConfig, model: Model, z):
+    """P_lin, P_lin_cb, P_lin_nu on the solver grid at redshift z
+    (reference :834-930)."""
+    grids = make_grids(cfg)
+    c = model.cosmo
+    a = 1.0 / (1.0 + z)
+    D, _ = growth_D_f(model, z)
+    beta = beta_P_solver(model, a)
+    f_nu = model.f_nu
+    F = 1.0 - f_nu + beta
+    k = jnp.asarray(grids.k)
+    P = model.norm * k ** c.n_s * model.T_solver ** 2 * F * F * D * D
+    massless = f_nu <= 1e-10
+    Pcb = jnp.where(massless, P, P / (model.f_cb + beta) ** 2)
+    R = beta / (f_nu * F + 1e-300)
+    Pnu = jnp.where(massless, 0.0, P * R * R)
+    return P, Pcb, Pnu
+
+
+def sigma_v2(model: Model, z):
+    """sigma_v^2(z) = D(z, kmin)^2 * sigma_v^2(0) (reference :963-970;
+    kmin_sv2 = 1e-3 is the first solver grid point)."""
+    D, _ = growth_D_f(model, z)
+    return D[0] * D[0] * model.sigmaV2_z0
