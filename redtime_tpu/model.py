@@ -114,7 +114,8 @@ def _beta_reduce_k(lin: LinearData, k_query: np.ndarray) -> jnp.ndarray:
     def one(kq):
         i0, w = interp.axis_weights(lin.beta_k, kq)
         block = jax.lax.dynamic_slice(
-            lin.beta_raw, (0, i0), (lin.beta_raw.shape[0], 4))
+            jnp.asarray(lin.beta_raw), (jnp.zeros_like(i0), i0),
+            (lin.beta_raw.shape[0], 4))
         return block @ w
 
     return jax.vmap(one, out_axes=1)(jnp.asarray(k_query))
@@ -126,9 +127,8 @@ def beta_raw_at_a(beta_a, beta_cols, a):
     the reference clamps.  Returns beta/f_nu values, shape beta_cols.shape[1:].
     """
     i0, w = interp.axis_weights(beta_a, a)
-    block = jax.lax.dynamic_slice(
-        beta_cols, (i0,) + (0,) * (beta_cols.ndim - 1),
-        (4,) + beta_cols.shape[1:])
+    starts = (i0,) + (jnp.zeros_like(i0),) * (beta_cols.ndim - 1)
+    block = jax.lax.dynamic_slice(beta_cols, starts, (4,) + beta_cols.shape[1:])
     return jnp.tensordot(w, block, axes=1)
 
 
@@ -293,7 +293,7 @@ def prepare_model(cfg: SolverConfig, c: CosmoParams,
     # Dnorm: G interpolated at lna = 0 per k column (reference :715-718)
     i0, wx = interp.axis_weights(jnp.asarray(lna_nodes), jnp.asarray(0.0))
     Dnorm = wx @ jax.lax.dynamic_slice(
-        G_red, (i0, 0), (4, G_red.shape[1]))     # [nk]
+        G_red, (i0, jnp.zeros_like(i0)), (4, G_red.shape[1]))  # [nk]
 
     # beta table reduced at the solver grid (k clamped to beta range)
     kq = np.clip(grids.k, cfg.beta_k_min, cfg.beta_k_max)
@@ -332,9 +332,10 @@ def growth_D_f(model: Model, z):
     a = 1.0 / (1.0 + z)
     lna0 = jnp.log(a)
     i0, wx = interp.axis_weights(model.g_lna, lna0)
-    Gv = wx @ jax.lax.dynamic_slice(model.g_G, (i0, 0),
+    z0 = jnp.zeros_like(i0)
+    Gv = wx @ jax.lax.dynamic_slice(model.g_G, (i0, z0),
                                     (4, model.g_G.shape[1]))
-    dDv = wx @ jax.lax.dynamic_slice(model.g_dDda, (i0, 0),
+    dDv = wx @ jax.lax.dynamic_slice(model.g_dDda, (i0, z0),
                                      (4, model.g_dDda.shape[1]))
     D = Gv * a / model.g_Dnorm
     dDda = dDv / model.g_Dnorm
