@@ -23,5 +23,8 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 from redtime_tpu.config import SolverConfig, CosmoParams, RunSettings  # noqa: E402,F401
+from redtime_tpu.driver import (  # noqa: E402,F401
+    prepare_model, run_batch, run_pipeline, settings_from_params, solve,
+)
 
 __version__ = "0.1.0"

@@ -1,0 +1,416 @@
+"""Assembly of A_{acd,bef}, R^ell_{abc}, P_{T,jm} and P_{MR,n} from the
+FAST-PT transforms.
+
+Transcribes the rational-coefficient linear combinations of the reference's
+per-k assembly loop (`src/redTime.cc:813-1279`) into vectorized [nk]
+expressions.  Index convention: J[n, a, b] == reference J[9 n + 3 a + b];
+same for PZ and Jn0.  All inputs are already windowed onto the solver grid
+(the reference's [nshift + i] reads).
+
+Layouts produced:
+  * A_unique [14, nk]  — the unique components in JU order
+    (JU = {8,9,10,11,12,13,14,15,56,57,59,60,61,63}, reference :157)
+  * A64 / I64 scatter  — 64-slot expansion with the A_{acd,bef} = A_{adc,bfe}
+    symmetry copies (reference :236-259, :968-978)
+  * R [3, 8, nk]       — (ell-1, 4a+2b+c)
+  * PT [9, nk], PMR [8, nk]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+# unique slots and mirror copies (reference redTime.cc:151-157, 246-255)
+JU = (8, 9, 10, 11, 12, 13, 14, 15, 56, 57, 59, 60, 61, 63)
+MIRRORS = ((16, 8), (18, 9), (17, 10), (19, 11), (20, 12), (22, 13),
+           (21, 14), (23, 15), (58, 57), (62, 61))
+
+# index component tables of the 14 unique slots (reference :151-156)
+AU = (0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1)
+CU = (0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1)
+DU = (1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1)
+BU = (0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 1, 1, 1)
+EU = (0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 0, 0, 1)
+FU = (0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 1, 0, 1, 1)
+
+# P_{T,jm}: m exponent per component (reference :160)
+M_N = (2, 1, 0, 2, 1, 0, 1, 0, 0)
+
+
+def _scatter64() -> np.ndarray:
+    S = np.zeros((64, 14))
+    for j, slot in enumerate(JU):
+        S[slot, j] = 1.0
+    for dst, src in MIRRORS:
+        S[dst] = S[src]
+    return S
+
+
+SCATTER64 = _scatter64()
+
+
+def expand64(unique: jnp.ndarray) -> jnp.ndarray:
+    """[14, nk] unique components -> [64, nk] full array with symmetry
+    copies (the reference's I64 / A-symmetry block)."""
+    return jnp.asarray(SCATTER64) @ unique
+
+
+def nAI(a, c, d, b, e, f) -> int:
+    """Slot index of A/I_{acd,bef} (reference :168-170)."""
+    return 32 * a + 16 * c + 8 * d + 4 * b + 2 * e + f
+
+
+def assemble(Jf, PZf, Jn0f, J_lo, k, with_rsd: bool):
+    """Assemble A/R/PT/PMR on the solver grid.
+
+    Jf, PZf, Jn0f: [7, 3, 3, nk] transforms windowed to the solver grid.
+    J_lo: scalar — J[0, 0, 0] at the low-k index nloMR (reference :1252).
+    k: [nk] solver grid.
+
+    Returns (A_unique [14, nk], R [3, 8, nk], PT [9, nk], PMR [8, nk]).
+    """
+    def J(n, idx):
+        return Jf[n, idx // 3, idx % 3]
+
+    def PZ(n, idx):
+        return PZf[n, idx // 3, idx % 3]
+
+    def Jn0(n, idx):
+        return Jn0f[n, idx // 3, idx % 3]
+
+    k2 = k * k
+    pre_A = k / (4.0 * np.pi)
+    pre_R = 1.0 / (2.0 * np.pi * k)
+
+    # ---------------- A_{acd,bef}, 14 unique slots (reference :820-966)
+    A = []
+
+    # slot 8: A_{001,000}
+    Jt = (J(4, 1) / 6 + J(2, 1) / 2 + J(0, 1) / 4 + J(1, 1) / 12 +
+          J(3, 3) / 6 + J(2, 3) / 4 + J(2, 1) / 4 + J(0, 3) / 3)
+    PZt = (-PZ(0, 1) / 12.0 +
+           (PZ(4, 3) - PZ(2, 3) + PZ(0, 3) + PZ(1, 3) / 2 - PZ(3, 1) +
+            PZ(1, 1) + PZ(0, 1) * 3 - PZ(2, 1) / 2) / 16)
+    A.append(pre_A * (Jt + PZt))
+
+    # slot 9: A_{001,001}
+    Jt = (J(4, 2) / 6 + J(2, 2) / 2 + J(0, 2) / 4 + J(1, 2) / 12 +
+          J(3, 4) / 6 + J(2, 4) / 4 + J(2, 4) / 4 + J(0, 4) / 3)
+    A.append(pre_A * Jt)
+
+    # slot 10: A_{001,010}
+    Jt = (J(4, 4) / 6 + J(2, 4) / 2 + J(0, 4) / 4 + J(1, 4) / 12 +
+          J(3, 6) / 6 + J(2, 6) / 4 + J(2, 2) / 4 + J(0, 6) / 3)
+    PZt = (-PZ(0, 4) / 12.0 +
+           (PZ(4, 6) - PZ(2, 6) + PZ(0, 6) + PZ(1, 6) / 2 - PZ(3, 4) +
+            PZ(1, 4) + PZ(0, 4) * 3 - PZ(2, 4) / 2) / 16)
+    A.append(pre_A * (Jt + PZt))
+
+    # slot 11: A_{001,011}
+    Jt = (J(4, 5) / 6 + J(2, 5) / 2 + J(0, 5) / 4 + J(1, 5) / 12 +
+          J(3, 7) / 6 + J(2, 7) / 4 + J(2, 5) / 4 + J(0, 7) / 3)
+    A.append(pre_A * Jt)
+
+    # slot 12: A_{001,100}
+    Jt = (J(5, 4) / 5 + J(3, 4) / 2 + J(4, 4) / 6 + 0.55 * J(2, 4) +
+          J(2, 4) / 4 + J(0, 4) / 4 + J(1, 4) / 12)
+    PZt = (-PZ(0, 2) / 12.0 +
+           (PZ(4, 4) - PZ(2, 4) + PZ(0, 4) + PZ(1, 4) / 2 - PZ(3, 2) +
+            PZ(1, 2) + PZ(0, 2) * 3 - PZ(2, 2) / 2) / 16)
+    A.append(pre_A * (Jt + PZt))
+
+    # slot 13: A_{001,101}
+    Jt = (J(5, 5) / 5 + J(3, 5) / 2 + J(4, 5) / 6 + 0.55 * J(2, 5) +
+          J(2, 7) / 4 + J(0, 5) / 4 + J(1, 5) / 12)
+    A.append(pre_A * Jt)
+
+    # slot 14: A_{001,110}
+    Jt = (J(5, 7) / 5 + J(3, 7) / 2 + J(4, 7) / 6 + 0.55 * J(2, 7) +
+          J(2, 5) / 4 + J(0, 7) / 4 + J(1, 7) / 12)
+    PZt = (-PZ(0, 5) / 12.0 +
+           (PZ(4, 7) - PZ(2, 7) + PZ(0, 7) + PZ(1, 7) / 2 - PZ(3, 5) +
+            PZ(1, 5) + PZ(0, 5) * 3 - PZ(2, 5) / 2) / 16)
+    A.append(pre_A * (Jt + PZt))
+
+    # slot 15: A_{001,111}
+    Jt = (J(5, 8) / 5 + J(3, 8) / 2 + J(4, 8) / 6 + 0.55 * J(2, 8) +
+          J(2, 8) / 4 + J(0, 8) / 4 + J(1, 8) / 12)
+    A.append(pre_A * Jt)
+
+    # slot 56: A_{111,000}
+    Jt = (J(5, 1) / 5 + J(3, 1) / 2 + J(4, 1) / 6 + 0.55 * J(2, 1) +
+          J(2, 3) / 4 + J(0, 1) / 4 + J(1, 1) / 12) * 2.0
+    PZt = (-PZ(4, 1) * 2 + PZ(2, 1) * 2 - PZ(0, 1) * 2 - PZ(1, 1) +
+           PZ(6, 3) * 2 - PZ(4, 3) * 4 + PZ(2, 3)) / 16.0
+    A.append(pre_A * (Jt + PZt))
+
+    # slot 57: A_{111,001}
+    Jt = (J(5, 2) / 5 + J(3, 2) / 2 + J(4, 2) / 6 + 0.55 * J(2, 2) +
+          J(2, 6) / 4 + J(0, 2) / 4 + J(1, 2) / 12 +
+          J(5, 4) / 5 + J(3, 4) / 2 + J(4, 4) / 6 + 0.55 * J(2, 4) +
+          J(2, 4) / 4 + J(0, 4) / 4 + J(1, 4) / 12)
+    PZt = (-PZ(4, 4) + PZ(2, 4) - PZ(0, 4) - PZ(1, 4) / 2 +
+           PZ(6, 6) - PZ(4, 6) * 2 + PZ(2, 6) / 2) / 16.0
+    A.append(pre_A * (Jt + PZt))
+
+    # slot 59: A_{111,011}
+    Jt = (J(5, 5) / 5 + J(3, 5) / 2 + J(4, 5) / 6 + 0.55 * J(2, 5) +
+          J(2, 7) / 4 + J(0, 5) / 4 + J(1, 5) / 12) * 2.0
+    A.append(pre_A * Jt)
+
+    # slot 60: A_{111,100}
+    Jt = (J(6, 4) * 8 / 35 + 0.4 * J(5, 4) + 0.4 * J(5, 4) +
+          J(3, 4) * 19 / 21 + J(4, 4) / 6 + J(4, 4) / 6 +
+          0.6 * J(2, 4) + 0.6 * J(2, 4) + J(0, 4) * 11 / 30 +
+          J(1, 4) / 12 + J(1, 4) / 12)
+    PZt = (-PZ(4, 2) * 2 + PZ(2, 2) * 2 - PZ(0, 2) * 2 - PZ(1, 2) +
+           PZ(6, 4) * 2 - PZ(4, 4) * 4 + PZ(2, 4)) / 16.0
+    A.append(pre_A * (Jt + PZt))
+
+    # slot 61: A_{111,101}
+    Jt = (J(6, 5) * 8 / 35 + 0.4 * J(5, 5) + 0.4 * J(5, 7) +
+          J(3, 5) * 19 / 21 + J(4, 5) / 6 + J(4, 7) / 6 +
+          0.6 * J(2, 5) + 0.6 * J(2, 7) + J(0, 5) * 11 / 30 +
+          J(1, 5) / 12 + J(1, 7) / 12)
+    PZt = (-PZ(4, 5) + PZ(2, 5) - PZ(0, 5) - PZ(1, 5) / 2 +
+           PZ(6, 7) - PZ(4, 7) * 2 + PZ(2, 7) / 2) / 16.0
+    A.append(pre_A * (Jt + PZt))
+
+    # slot 63: A_{111,111}
+    Jt = (J(6, 8) * 8 / 35 + 0.4 * J(5, 8) + 0.4 * J(5, 8) +
+          J(3, 8) * 19 / 21 + J(4, 8) / 6 + J(4, 8) / 6 +
+          0.6 * J(2, 8) + 0.6 * J(2, 8) + J(0, 8) * 11 / 30 +
+          J(1, 8) / 12 + J(1, 8) / 12)
+    A.append(pre_A * Jt)
+
+    A_unique = jnp.stack(A)                     # [14, nk]
+
+    # ---------------- R^ell_{abc} (reference :980-1161)
+    if with_rsd:
+        R = [[None] * 8 for _ in range(3)]
+        for a in range(2):
+            for b in range(2):
+                for c in range(2):
+                    j = 4 * a + 2 * b + c
+
+                    # ell = 1
+                    if a == 0:
+                        Jt = (0.4 * J(5, 3 * b + c + 1) -
+                              1.4 * J(2, 3 * b + c + 1) -
+                              J(2, 3 * c + b + 3) -
+                              2.0 * J(0, 3 * b + c + 1) +
+                              0.4 * J(5, 3 * c + b + 1) +
+                              (2.0 / 3.0) * J(3, 3 * b + c + 3) -
+                              (2.0 / 3.0) * J(4, 3 * c + b + 1) -
+                              2.4 * J(2, 3 * c + b + 1) -
+                              (5.0 / 3.0) * J(0, 3 * b + c + 3) -
+                              (1.0 / 3.0) * J(1, 3 * c + b + 1))
+                    else:
+                        Jt = ((16.0 / 35.0) * J(6, 3 * b + c + 4) -
+                              0.4 * J(5, 3 * c + b + 4) +
+                              0.4 * J(5, 3 * b + c + 4) -
+                              (46.0 / 21.0) * J(3, 3 * b + c + 4) -
+                              (2.0 / 3.0) * J(4, 3 * b + c + 4) -
+                              2.6 * J(2, 3 * c + b + 4) -
+                              1.4 * J(2, 3 * b + c + 4) -
+                              (19.0 / 15.0) * J(0, 3 * b + c + 4) -
+                              (1.0 / 3.0) * J(1, 3 * c + b + 4))
+                    r1 = pre_R * Jt
+
+                    if b == 0:
+                        PZt = (-(13.0 / 12.0) * PZ(0, 3 * c + a + 1) +
+                               (5.0 / 16.0) * PZ(2, 3 * c + a + 1) -
+                               (7.0 / 16.0) * PZ(1, 3 * c + a + 1) -
+                               0.125 * PZ(4, 3 * c + a + 1) +
+                               0.375 * PZ(3, 3 * c + a + 1) -
+                               0.375 * PZ(0, 3 * c + a + 3) +
+                               (7.0 / 16.0) * PZ(2, 3 * c + a + 3) -
+                               (3.0 / 16.0) * PZ(1, 3 * c + a + 3) -
+                               0.625 * PZ(4, 3 * c + a + 3) +
+                               0.125 * PZ(6, 3 * c + a + 3))
+                    else:
+                        PZt = -(1.0 / 3.0) * PZ(0, 3 * c + a + 4)
+                    r1 = r1 + pre_R * PZt
+
+                    if c == 0:
+                        PZt = (0.125 * PZ(6, 3 * b + a + 3) -
+                               0.375 * PZ(4, 3 * b + a + 3) +
+                               (3.0 / 16.0) * PZ(2, 3 * b + a + 3) -
+                               (1.0 / 16.0) * PZ(1, 3 * b + a + 3) -
+                               0.125 * PZ(0, 3 * b + a + 3) -
+                               0.125 * PZ(4, 3 * b + a + 1) +
+                               (3.0 / 16.0) * PZ(2, 3 * b + a + 1) -
+                               (3.0 / 16.0) * PZ(1, 3 * b + a + 1) +
+                               0.125 * PZ(3, 3 * b + a + 1))
+                    else:
+                        PZt = (1.0 / 3.0) * PZ(0, 3 * b + a + 4)
+                    R[0][j] = r1 + pre_R * PZt
+
+                    # ell = 2
+                    if a == 0:
+                        Jt = (0.6 * J(5, 3 * b + c + 1) +
+                              J(3, 3 * b + c + 1) -
+                              0.6 * J(2, 3 * b + c + 1) -
+                              J(0, 3 * b + c + 1) +
+                              0.6 * J(5, 3 * c + b + 1) +
+                              J(3, 3 * b + c + 3) -
+                              0.6 * J(2, 3 * c + b + 1) -
+                              J(0, 3 * b + c + 3))
+                    else:
+                        Jt = (24.0 / 35.0 * J(6, 3 * b + c + 4) -
+                              1.0 * J(5, 3 * c + b + 4) +
+                              2.2 * J(5, 3 * b + c + 4) -
+                              (2.0 / 7.0) * J(3, 3 * b + c + 4) -
+                              0.6 * J(2, 3 * b + c + 4) -
+                              0.6 * J(2, 3 * c + b + 4) -
+                              0.4 * J(0, 3 * b + c + 4))
+                    r2 = pre_R * Jt
+
+                    if b == 0:
+                        PZt = (-(1.0 / 2.0) * PZ(0, 3 * c + a + 1) +
+                               (9.0 / 32.0) * PZ(2, 3 * c + a + 1) -
+                               (9.0 / 32.0) * PZ(1, 3 * c + a + 1) -
+                               (3.0 / 16.0) * PZ(4, 3 * c + a + 1) +
+                               (3.0 / 16.0) * PZ(3, 3 * c + a + 1) -
+                               (3.0 / 16.0) * PZ(0, 3 * c + a + 3) -
+                               (3.0 / 32.0) * PZ(1, 3 * c + a + 3) +
+                               (9.0 / 32.0) * PZ(2, 3 * c + a + 3) -
+                               (9.0 / 16.0) * PZ(4, 3 * c + a + 3) +
+                               (3.0 / 16.0) * PZ(6, 3 * c + a + 3))
+                        r2 = r2 + pre_R * PZt
+                    if c == 0:
+                        PZt = ((3.0 / 16.0) * PZ(6, 3 * b + a + 3) -
+                               (9.0 / 16.0) * PZ(4, 3 * b + a + 3) +
+                               (9.0 / 32.0) * PZ(2, 3 * b + a + 3) -
+                               (3.0 / 32.0) * PZ(1, 3 * b + a + 3) -
+                               (3.0 / 16.0) * PZ(0, 3 * b + a + 3) +
+                               (3.0 / 16.0) * PZ(3, 3 * b + a + 1) -
+                               (3.0 / 16.0) * PZ(4, 3 * b + a + 1) -
+                               (9.0 / 32.0) * PZ(1, 3 * b + a + 1) +
+                               (9.0 / 32.0) * PZ(2, 3 * b + a + 1) -
+                               (1.0 / 2.0) * PZ(0, 3 * b + a + 1))
+                        r2 = r2 + pre_R * PZt
+                    R[1][j] = r2
+
+                    # ell = 3
+                    if a == 0:
+                        Jt = (((4.0 / 7.0) * Jn0(2, 3 * c + b + 3) -
+                               (40.0 / 21.0) * Jn0(1, 3 * c + b + 3) +
+                               (4.0 / 3.0) * Jn0(0, 3 * c + b + 3) -
+                               (4.0 / 7.0) * Jn0(2, 3 * b + c + 3) +
+                               (40.0 / 21.0) * Jn0(1, 3 * b + c + 3) -
+                               (4.0 / 3.0) * Jn0(0, 3 * b + c + 3)) / k2 -
+                              J(5, 3 * b + c + 1) +
+                              J(2, 3 * b + c + 1) -
+                              (5.0 / 3.0) * J(3, 3 * b + c + 3) +
+                              (5.0 / 3.0) * J(0, 3 * b + c + 3))
+                    else:
+                        Jt = (-(4.0 / 7.0) * J(6, 3 * b + c + 4) -
+                              J(5, 3 * b + c + 4) +
+                              (5.0 / 21.0) * J(3, 3 * b + c + 4) +
+                              J(2, 3 * b + c + 4) +
+                              (1.0 / 3.0) * J(0, 3 * b + c + 4))
+                    r3 = pre_R * Jt
+
+                    if b == 0:
+                        PZt = ((35.0 / 32.0) * PZ(0, 3 * c + a + 1) +
+                               (5.0 / 32.0) * PZ(5, 3 * c + a + 1) -
+                               (5.0 / 8.0) * PZ(3, 3 * c + a + 1) +
+                               (5.0 / 32.0) * PZ(4, 3 * c + a + 1) -
+                               (5.0 / 16.0) * PZ(2, 3 * c + a + 1) +
+                               (15.0 / 32.0) * PZ(1, 3 * c + a + 1) +
+                               (55.0 / 96.0) * PZ(0, 3 * c + a + 3) -
+                               (5.0 / 32.0) * PZ(6, 3 * c + a + 3) +
+                               (5.0 / 8.0) * PZ(4, 3 * c + a + 3) -
+                               (5.0 / 32.0) * PZ(3, 3 * c + a + 3) -
+                               (15.0 / 32.0) * PZ(2, 3 * c + a + 3) +
+                               (5.0 / 16.0) * PZ(1, 3 * c + a + 3))
+                    else:
+                        PZt = (1.0 / 3.0) * PZ(0, 3 * c + a + 4)
+                    r3 = r3 + pre_R * PZt
+
+                    if c == 0:
+                        PZt = 1.25 * (
+                            -0.125 * PZ(6, 3 * b + a + 3) +
+                            0.25 * PZ(4, 3 * b + a + 3) -
+                            (5.0 / 24.0) * PZ(0, 3 * b + a + 3) -
+                            0.125 * PZ(1, 3 * b + a + 3) +
+                            0.125 * PZ(3, 3 * b + a + 3) -
+                            0.125 * PZ(5, 3 * b + a + 1) +
+                            0.25 * PZ(3, 3 * b + a + 1) -
+                            (5.0 / 24.0) * PZ(0, 3 * b + a + 1) -
+                            0.125 * PZ(2, 3 * b + a + 1) +
+                            0.125 * PZ(4, 3 * b + a + 1))
+                    else:
+                        PZt = -(1.0 / 3.0) * PZ(0, 3 * b + a + 4)
+                    R[2][j] = r3 + pre_R * PZt
+
+        Rarr = jnp.stack([jnp.stack(Rl) for Rl in R])   # [3, 8, nk]
+    else:
+        Rarr = jnp.zeros((3, 8) + k.shape)
+
+    # ---------------- P_{T,jm} (reference :1168-1243)
+    if with_rsd:
+        k4 = k2 * k2
+        PT = [None] * 9
+        PT[0] = (1.0 / 3.0) * J(3, 4) - (1.0 / 3.0) * J(0, 4)
+        PT[1] = 2.0 * ((-3.0 / 35.0) * Jn0(2, 7) +
+                       (2.0 / 7.0) * Jn0(1, 7) -
+                       0.2 * Jn0(0, 7)) / k2
+        PT[2] = ((5.0 / 231.0) * Jn0(6, 8) - (9.0 / 77.0) * Jn0(5, 8) +
+                 (5.0 / 21.0) * Jn0(4, 8) - (1.0 / 7.0) * Jn0(3, 8)) / k4
+        PT[3] = ((1.0 / 3.0) * J(3, 4) + 2.0 * J(2, 4) +
+                 (5.0 / 3.0) * J(0, 4))
+        PT[4] = (-(6.0 / 5.0) * J(5, 5) + 2.0 * J(3, 7) +
+                 (6.0 / 5.0) * J(2, 5) - 2.0 * J(0, 7) +
+                 ((12.0 / 7.0) * Jn0(2, 7) - (40.0 / 7.0) * Jn0(1, 7) +
+                  4.0 * Jn0(0, 7)) / k2)
+        PT[5] = ((-(5.0 / 11.0) * Jn0(6, 8) + (27.0 / 11.0) * Jn0(5, 8) -
+                  5.0 * Jn0(4, 8) + 3.0 * Jn0(3, 8)) / k4 +
+                 (-(9.0 / 7.0) * Jn0(2, 8) + (30.0 / 7.0) * Jn0(1, 8) -
+                  3.0 * Jn0(0, 8)) / k2 +
+                 (27.0 / 70.0) * J(6, 8) - (9.0 / 7.0) * J(3, 8) +
+                 (9.0 / 10.0) * J(0, 8))
+        PT[6] = ((-2.0 * Jn0(2, 7) + (20.0 / 3.0) * Jn0(1, 7) -
+                  (14.0 / 3.0) * Jn0(0, 7)) / k2 +
+                 2.0 * J(5, 5) - (2.0 / 3.0) * J(3, 7) +
+                 2.0 * J(2, 7) + (14.0 / 3.0) * J(0, 7))
+        PT[7] = (((15.0 / 11.0) * Jn0(6, 8) - (81.0 / 11.0) * Jn0(5, 8) +
+                  15.0 * Jn0(4, 8) - 9.0 * Jn0(3, 8)) / k4 +
+                 (6.0 * Jn0(2, 8) - 20.0 * Jn0(1, 8) +
+                  14.0 * Jn0(0, 8)) / k2 -
+                 (39.0 / 35.0) * J(6, 8) - (6.0 / 5.0) * J(5, 8) +
+                 (47.0 / 7.0) * J(3, 8) + (6.0 / 5.0) * J(2, 8) -
+                 (28.0 / 5.0) * J(0, 8))
+        PT[8] = ((-1.0 * Jn0(6, 8) + (27.0 / 5.0) * Jn0(5, 8) -
+                  11.0 * Jn0(4, 8) + (33.0 / 5.0) * Jn0(3, 8)) / k4 +
+                 (-(27.0 / 5.0) * Jn0(2, 8) + 18.0 * Jn0(1, 8) -
+                  (63.0 / 5.0) * Jn0(0, 8)) / k2 +
+                 (59.0 / 70.0) * J(6, 8) + 2.0 * J(5, 8) -
+                 (36.0 / 7.0) * J(3, 8) + (63.0 / 10.0) * J(0, 8))
+        PTarr = jnp.stack(PT)
+    else:
+        PTarr = jnp.zeros((9,) + k.shape)
+
+    # ---------------- P_{MR,n} McDonald-Roy bias integrals
+    # (reference :1245-1278; low-k subtraction J_lo at nloMR)
+    PMR = [None] * 8
+    PMR[0] = ((4.0 / 21.0) * J(3, 0) + J(2, 0) + (17.0 / 21.0) * J(0, 0))
+    PMR[1] = ((8.0 / 21.0) * J(3, 0) + J(2, 0) + (13.0 / 21.0) * J(0, 0))
+    PMR[2] = ((16.0 / 245.0) * J(6, 0) + (2.0 / 5.0) * J(5, 0) +
+              (254.0 / 441.0) * J(3, 0) + (4.0 / 15.0) * J(2, 0) +
+              (8.0 / 315.0) * J(0, 0))
+    PMR[3] = ((32.0 / 245.0) * J(6, 0) + (2.0 / 5.0) * J(5, 0) +
+              (214.0 / 441.0) * J(3, 0) + (4.0 / 15.0) * J(2, 0) +
+              (16.0 / 315.0) * J(0, 0))
+    PMR[4] = 0.5 * J(0, 0) - 0.5 * J_lo
+    PMR[5] = (J(3, 0) - J_lo) / 3.0
+    PMR[6] = ((4.0 / 35.0) * J(6, 0) + (4.0 / 63.0) * J(3, 0) +
+              (2.0 / 45.0) * J(0, 0) - (2.0 / 9.0) * J_lo)
+    PMR[7] = 0.5 * ((-15.0 / 128.0) * PZ(6, 0) + (15.0 / 32.0) * PZ(4, 0) -
+                    (15.0 / 128.0) * PZ(3, 0) - (45.0 / 128.0) * PZ(2, 0) +
+                    (15.0 / 64.0) * PZ(1, 0) + (55.0 / 128.0) * PZ(0, 0))
+    PMRarr = jnp.stack(PMR)
+
+    return A_unique, Rarr, PTarr, PMRarr

@@ -1,0 +1,190 @@
+"""End-to-end solver driver: prepare -> evolve -> output tables.
+
+Single-cosmology path plus a vmap/pjit batch path (the TPU-native
+replacement for the reference's `runRedTimeBatch` serial shell loop,
+scripts/runRedTimeBatch:91-99).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from redtime_tpu import model as mdl
+from redtime_tpu import trg
+from redtime_tpu.config import H0H, CosmoParams, RunSettings, SolverConfig
+from redtime_tpu import background as bg
+from redtime_tpu.grids import make_grids
+from redtime_tpu.io.camb import LinearData
+from redtime_tpu.io.params import ParamsFile
+
+prepare_model = mdl.prepare_model
+
+
+class RunResult(NamedTuple):
+    """Arrays of one solver run (a pytree; batch results stack it)."""
+
+    k: jnp.ndarray          # [nk]
+    table: jnp.ndarray      # [n_eta, nk, ncol] — printed column layout
+    eta: jnp.ndarray        # [n_eta] header scalars
+    a: jnp.ndarray
+    z: jnp.ndarray
+    H: jnp.ndarray          # H in h/Mpc units (reference prints H_H0*H0h)
+    sigma_v2: jnp.ndarray   # [n_eta]
+    sigmaV2_z0: jnp.ndarray
+    eta_fin: jnp.ndarray
+
+
+def n_columns(cfg: SolverConfig, settings: RunSettings) -> int:
+    n = 1
+    if settings.print_lin:
+        n += 6
+    n += 3
+    if cfg.print_a:
+        n += 14
+    if cfg.print_i:
+        n += 14
+    if settings.print_rsd and cfg.print_bias:
+        n += 22
+    if settings.print_rsd and not cfg.print_bias:
+        n += 7
+    if cfg.print_q:
+        n += 24
+    return n
+
+
+def build_output_block(cfg: SolverConfig, settings: RunSettings,
+                       model: mdl.Model, y, z: float,
+                       mode: str = "auto") -> jnp.ndarray:
+    """One output block [nk, ncol] (reference main output loop,
+    redTime.cc:1646-1741)."""
+    g = make_grids(cfg)
+    k = jnp.asarray(g.k)
+    a = 1.0 / (1.0 + z)
+    r = a / settings.a_in
+    r2, r3, r4 = r * r, r ** 3, r ** 4
+    cols = [k]
+
+    if settings.print_lin:
+        D, dDda = mdl.growth_D_f(model, z)
+        f = a * dDda / D
+        _, Pcb, Pnu = mdl.plin_all(cfg, model, z)
+        beta = mdl.beta_P_solver(model, a)
+        b1 = mdl.beta_P_solver(model, 1.0)
+        aL, aR = a * 0.999, min(1.0, a * 1.001)
+        dlnB_num = (mdl.beta_P_solver(model, aR)
+                    - mdl.beta_P_solver(model, aL)) / (aR - aL)
+        dlnB = jnp.where(model.f_nu < 1e-10, 0.0, (a / beta) * dlnB_num)
+        cols += [D, f, Pcb, beta / (b1 + 1e-100), dlnB, Pnu]
+
+    P = jnp.exp(y[0:3])
+    cols += [P[0] * r2, P[1] * r2, P[2] * r2]
+
+    # 1-loop mode recomputes the full mode coupling at the output time from
+    # the evolved spectra (reference :1646-1653); full-TRG mode leaves the
+    # PT stack at zero (documented output caveat, SURVEY section 2)
+    need_mc = settings.nonlinear and settings.one_loop and (
+        settings.print_rsd or cfg.print_a or cfg.print_bias)
+    if need_mc:
+        A_u, _, PTjm, PMR = trg.compute_mode_coupling_full(
+            cfg, y[0:3], model.cosmo.n_s, settings.print_rsd, k, mode)
+        PT = trg._collapse_pt(PTjm)
+    else:
+        A_u = jnp.zeros((14, g.nk))
+        PTjm = jnp.zeros((9, g.nk))
+        PMR = jnp.zeros((8, g.nk))
+        PT = jnp.zeros((4, g.nk))
+
+    if cfg.print_a:
+        cols += list(A_u)
+    if cfg.print_i:
+        cols += list(y[trg.NUP:trg.NUP + trg.NUI])
+
+    if settings.print_rsd:
+        pb = trg.pbis_j(cfg, y) * r3          # [5, nk]
+        if cfg.print_bias:
+            cols += list(pb)
+            cols += [PTjm[n] * r4 for n in range(9)]
+            cols += [PMR[n] * r4 for n in range(8)]
+        else:
+            cols += [pb[0] + pb[1], pb[2] + pb[3], pb[4]]
+            cols += [PT[n] * r4 for n in range(4)]
+
+    if cfg.print_q:
+        cols += [y[trg.NUP + trg.NUI + j] * r3 for j in range(trg.NUQ)]
+
+    return jnp.stack(cols, axis=1)
+
+
+def solve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
+          mode: str = "auto") -> RunResult:
+    """Full evolution + output assembly for one prepared model.  Jittable
+    with cfg/settings static."""
+    g = make_grids(cfg)
+    ys, _ = trg.evolve(cfg, settings, model, mode)
+
+    blocks, svs, Hs = [], [], []
+    for i, z in enumerate(settings.z_out):
+        blocks.append(build_output_block(cfg, settings, model, ys[i],
+                                         float(z), mode))
+        svs.append(mdl.sigma_v2(model, float(z)))
+        a = 1.0 / (1.0 + float(z))
+        Hs.append(bg.H_H0(model.cosmo, a) * H0H)
+
+    z_arr = np.asarray(settings.z_out, dtype=np.float64)
+    a_arr = 1.0 / (1.0 + z_arr)
+    return RunResult(
+        k=jnp.asarray(g.k), table=jnp.stack(blocks),
+        eta=jnp.asarray(settings.etasteps()), a=jnp.asarray(a_arr),
+        z=jnp.asarray(z_arr), H=jnp.stack(Hs), sigma_v2=jnp.stack(svs),
+        sigmaV2_z0=model.sigmaV2_z0,
+        eta_fin=jnp.asarray(np.log(1.0 / settings.a_in)))
+
+
+def run_pipeline(cfg: SolverConfig, settings: RunSettings, c: CosmoParams,
+                 lin: LinearData, mode: str = "auto",
+                 use_jit: bool = True) -> RunResult:
+    """prepare_model + solve, jitted end-to-end."""
+    def go(c, lin):
+        m = mdl.prepare_model(cfg, c, lin)
+        return solve(cfg, settings, m, mode)
+
+    if use_jit:
+        go = jax.jit(go)
+    return go(c, lin)
+
+
+def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
+              lins: LinearData, mode: str = "auto",
+              mesh=None, axis: str = "batch") -> RunResult:
+    """Batched pipeline: vmap over stacked cosmologies, optionally sharded
+    over a device mesh along the batch axis (embarrassingly parallel — the
+    Time-RG math has no cross-cosmology coupling, so the only communication
+    is the output gather; SURVEY section 5.8)."""
+    def go(cb, lb):
+        m = mdl.prepare_model(cfg, cb, lb)
+        return solve(cfg, settings, m, mode)
+
+    fn = jax.vmap(go)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P(axis))
+        cs = jax.device_put(cs, sh)
+        lins = jax.device_put(lins, sh)
+        fn = jax.jit(fn, out_shardings=sh)
+    else:
+        fn = jax.jit(fn)
+    return fn(cs, lins)
+
+
+def settings_from_params(p: ParamsFile) -> tuple[RunSettings, CosmoParams]:
+    settings = RunSettings(
+        nonlinear=bool(p.switch_nonlinear), one_loop=bool(p.switch_1loop),
+        print_lin=bool(p.print_lin), print_rsd=bool(p.print_rsd),
+        z_in=p.z_in, z_out=tuple(p.z_out))
+    cosmo = CosmoParams.make(p.n_s, p.sigma_8, p.h, p.Omega_m, p.Omega_b,
+                             p.Omega_nu, p.T_cmb, p.w0, p.wa)
+    return settings, cosmo

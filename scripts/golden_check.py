@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Compare the full pipeline against the reference's bundled golden output.
+
+Usage: python scripts/golden_check.py [--full] [--mode fft|matmul]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:
+    pass
+
+from redtime_tpu import SolverConfig, run_pipeline, settings_from_params  # noqa: E402
+from redtime_tpu.io import read_params_file  # noqa: E402
+from redtime_tpu.io.camb import load_from_params  # noqa: E402
+
+EX = "/root/reference/examples/1_redTime"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="fft")
+    args = ap.parse_args()
+
+    p = read_params_file(f"{EX}/params_redTime.dat")
+    lin = load_from_params(p, EX)
+    settings, cosmo = settings_from_params(p)
+    cfg = SolverConfig()
+
+    t0 = time.time()
+    res = run_pipeline(cfg, settings, cosmo, lin, mode=args.mode)
+    res.table.block_until_ready()
+    t1 = time.time()
+    print(f"pipeline wall time {t1 - t0:.1f}s (incl. compile)")
+
+    rows = []
+    for line in open(f"{EX}/example_redTime_result.dat"):
+        if line.startswith("#") or not line.strip():
+            continue
+        rows.append([float(x) for x in line.split()])
+    golden = np.array(rows).reshape(7, 128, 17)
+    table = np.asarray(res.table)
+    assert table.shape == golden.shape, (table.shape, golden.shape)
+
+    names = ["k", "D", "f", "Pcb", "B/B1", "dlnB", "Pnu",
+             "P_dd", "P_dt", "P_tt", "PB2", "PB4", "PB6",
+             "PT2", "PT4", "PT6", "PT8"]
+    print(f"{'col':>6} " + " ".join(f"{z:>9}" for z in [5, 4, 3, 2, 1, 0.5, 0]))
+    worst = 0.0
+    for c in range(17):
+        rel = []
+        for iz in range(7):
+            g = golden[iz, :, c]
+            m = table[iz, :, c]
+            scale = np.abs(g) + 1e-30
+            rel.append(np.max(np.abs(m - g) / scale))
+        print(f"{names[c]:>6} " + " ".join(f"{r:9.2e}" for r in rel))
+        if c >= 7:
+            worst = max(worst, max(rel))
+    print(f"worst nonlinear-column rel diff: {worst:.3e}")
+
+
+if __name__ == "__main__":
+    main()

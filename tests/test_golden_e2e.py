@@ -1,0 +1,77 @@
+"""End-to-end golden comparison against the reference's bundled example
+(examples/1_redTime: massive-nu w0waCDM, 1-loop mode, 7 output redshifts,
+PRINTLIN + PRINTRSD -> 17 columns).
+
+This is the reference's own primary validation artifact (run.sh +
+example_redTime_result.dat); the driver BASELINE target is <=1e-4 relative.
+Columns with zero crossings (PB/PT at early z where Q is tiny) are compared
+with a column-scale-normalized metric; the power spectra pointwise.
+"""
+
+import numpy as np
+import pytest
+
+from redtime_tpu import SolverConfig, run_pipeline, settings_from_params
+from redtime_tpu.io import read_params_file
+from redtime_tpu.io.camb import load_from_params
+
+
+@pytest.fixture(scope="module")
+def result(example_dir):
+    p = read_params_file(f"{example_dir}/params_redTime.dat")
+    lin = load_from_params(p, example_dir)
+    settings, cosmo = settings_from_params(p)
+    cfg = SolverConfig()
+    res = run_pipeline(cfg, settings, cosmo, lin, mode="fft")
+
+    rows = []
+    for line in open(f"{example_dir}/example_redTime_result.dat"):
+        if line.startswith("#") or not line.strip():
+            continue
+        rows.append([float(x) for x in line.split()])
+    golden = np.array(rows).reshape(7, 128, 17)
+    return np.asarray(res.table), golden
+
+
+def test_shapes(result):
+    table, golden = result
+    assert table.shape == golden.shape
+
+
+def test_power_spectra_pointwise(result):
+    """P_dd/P_dt/P_tt (cols 7-9) pointwise relative, all z, all k."""
+    table, golden = result
+    for c in (7, 8, 9):
+        rel = np.abs(table[:, :, c] - golden[:, :, c]) / \
+            np.abs(golden[:, :, c])
+        assert np.max(rel) < 1e-4, (c, np.max(rel))
+
+
+def test_linear_columns_pointwise(result):
+    table, golden = result
+    for c in (1, 2, 3, 4, 5, 6):
+        rel = np.abs(table[:, :, c] - golden[:, :, c]) / \
+            (np.abs(golden[:, :, c]) + 1e-30)
+        assert np.max(rel) < 1e-4, (c, np.max(rel))
+
+
+def test_rsd_columns_scaled(result):
+    """A-term (PB) and B-term (PT) columns: these cross zero, so compare
+    |diff| against the column scale per redshift block."""
+    table, golden = result
+    for c in range(10, 17):
+        for iz in range(7):
+            g, m = golden[iz, :, c], table[iz, :, c]
+            err = np.max(np.abs(m - g)) / np.max(np.abs(g))
+            assert err < 2e-4, (c, iz, err)
+
+
+def test_reference_ci_criterion(result):
+    """The reference CI's own accuracy criterion (test_models.py:86-88):
+    z=0 P_dd max relative error < 1e-3 for k < 0.1 — here vs the golden
+    table itself, far tighter."""
+    table, golden = result
+    k = golden[6, :, 0]
+    sel = k < 0.1
+    rel = np.abs(table[6, sel, 7] / golden[6, sel, 7] - 1)
+    assert np.max(rel) < 5e-5
