@@ -57,10 +57,10 @@ def n_columns(cfg: SolverConfig, settings: RunSettings) -> int:
 
 
 def build_output_block(cfg: SolverConfig, settings: RunSettings,
-                       model: mdl.Model, y, z: float,
-                       mode: str = "auto") -> jnp.ndarray:
+                       model: mdl.Model, y, z,
+                       mode: str = "auto", ec=None) -> jnp.ndarray:
     """One output block [nk, ncol] (reference main output loop,
-    redTime.cc:1646-1741)."""
+    redTime.cc:1646-1741).  z may be traced (the blocks are vmapped)."""
     g = make_grids(cfg)
     k = jnp.asarray(g.k)
     a = 1.0 / (1.0 + z)
@@ -74,7 +74,7 @@ def build_output_block(cfg: SolverConfig, settings: RunSettings,
         _, Pcb, Pnu = mdl.plin_all(cfg, model, z)
         beta = mdl.beta_P_solver(model, a)
         b1 = mdl.beta_P_solver(model, 1.0)
-        aL, aR = a * 0.999, min(1.0, a * 1.001)
+        aL, aR = a * 0.999, jnp.minimum(1.0, a * 1.001)
         dlnB_num = (mdl.beta_P_solver(model, aR)
                     - mdl.beta_P_solver(model, aL)) / (aR - aL)
         dlnB = jnp.where(model.f_nu < 1e-10, 0.0, (a / beta) * dlnB_num)
@@ -90,7 +90,7 @@ def build_output_block(cfg: SolverConfig, settings: RunSettings,
         settings.print_rsd or cfg.print_a or cfg.print_bias)
     if need_mc:
         A_u, _, PTjm, PMR = trg.compute_mode_coupling_full(
-            cfg, y[0:3], model.cosmo.n_s, settings.print_rsd, k, mode)
+            cfg, y[0:3], model.cosmo.n_s, settings.print_rsd, k, mode, ec)
         PT = trg._collapse_pt(PTjm)
     else:
         A_u = jnp.zeros((14, g.nk))
@@ -120,26 +120,29 @@ def build_output_block(cfg: SolverConfig, settings: RunSettings,
 
 
 def solve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
-          mode: str = "auto") -> RunResult:
+          mode: str = "auto", ec=None) -> RunResult:
     """Full evolution + output assembly for one prepared model.  Jittable
-    with cfg/settings static."""
+    with cfg/settings static; pass ec=engine_consts(cfg, mode) from outside
+    jit so the engine's large static arrays are parameters, not baked
+    constants (TPU compile-time critical)."""
     g = make_grids(cfg)
-    ys, _ = trg.evolve(cfg, settings, model, mode)
-
-    blocks, svs, Hs = [], [], []
-    for i, z in enumerate(settings.z_out):
-        blocks.append(build_output_block(cfg, settings, model, ys[i],
-                                         float(z), mode))
-        svs.append(mdl.sigma_v2(model, float(z)))
-        a = 1.0 / (1.0 + float(z))
-        Hs.append(bg.H_H0(model.cosmo, a) * H0H)
+    ys, _ = trg.evolve(cfg, settings, model, mode, ec)
 
     z_arr = np.asarray(settings.z_out, dtype=np.float64)
     a_arr = 1.0 / (1.0 + z_arr)
+
+    # one traced output-block graph, vmapped over the output redshifts
+    # (compile-size critical: the block contains a full FAST-PT evaluation)
+    table = jax.vmap(
+        lambda yi, zi: build_output_block(cfg, settings, model, yi, zi,
+                                          mode, ec))(ys, jnp.asarray(z_arr))
+    svs = jax.vmap(lambda zi: mdl.sigma_v2(model, zi))(jnp.asarray(z_arr))
+    Hs = bg.H_H0(model.cosmo, jnp.asarray(a_arr)) * H0H
+
     return RunResult(
-        k=jnp.asarray(g.k), table=jnp.stack(blocks),
+        k=jnp.asarray(g.k), table=table,
         eta=jnp.asarray(settings.etasteps()), a=jnp.asarray(a_arr),
-        z=jnp.asarray(z_arr), H=jnp.stack(Hs), sigma_v2=jnp.stack(svs),
+        z=jnp.asarray(z_arr), H=Hs, sigma_v2=svs,
         sigmaV2_z0=model.sigmaV2_z0,
         eta_fin=jnp.asarray(np.log(1.0 / settings.a_in)))
 
@@ -148,13 +151,16 @@ def run_pipeline(cfg: SolverConfig, settings: RunSettings, c: CosmoParams,
                  lin: LinearData, mode: str = "auto",
                  use_jit: bool = True) -> RunResult:
     """prepare_model + solve, jitted end-to-end."""
-    def go(c, lin):
+    from redtime_tpu.fastpt import engine_consts
+    ec = engine_consts(cfg, mode)
+
+    def go(c, lin, ec):
         m = mdl.prepare_model(cfg, c, lin)
-        return solve(cfg, settings, m, mode)
+        return solve(cfg, settings, m, mode, ec)
 
     if use_jit:
         go = jax.jit(go)
-    return go(c, lin)
+    return go(c, lin, ec)
 
 
 def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
@@ -164,20 +170,25 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
     over a device mesh along the batch axis (embarrassingly parallel — the
     Time-RG math has no cross-cosmology coupling, so the only communication
     is the output gather; SURVEY section 5.8)."""
-    def go(cb, lb):
-        m = mdl.prepare_model(cfg, cb, lb)
-        return solve(cfg, settings, m, mode)
+    from redtime_tpu.fastpt import engine_consts
+    ec = engine_consts(cfg, mode)
 
-    fn = jax.vmap(go)
+    def go(cb, lb, ec):
+        m = mdl.prepare_model(cfg, cb, lb)
+        return solve(cfg, settings, m, mode, ec)
+
+    fn = jax.vmap(go, in_axes=(0, 0, None))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())      # engine consts replicated
         cs = jax.device_put(cs, sh)
         lins = jax.device_put(lins, sh)
+        ec = jax.device_put(ec, rep)
         fn = jax.jit(fn, out_shardings=sh)
     else:
         fn = jax.jit(fn)
-    return fn(cs, lins)
+    return fn(cs, lins, ec)
 
 
 def settings_from_params(p: ParamsFile) -> tuple[RunSettings, CosmoParams]:

@@ -242,13 +242,60 @@ def _pab_ext(cfg: SolverConfig):
     return pab_extension_matrix(make_grids(cfg))
 
 
-def extend_power(cfg: SolverConfig, lnP3: jnp.ndarray, n_s) -> jnp.ndarray:
+class EngineConsts(NamedTuple):
+    """All static engine arrays as a pytree, so driver code passes them as
+    jit ARGUMENTS.  Baked-in f64 constants of this size (~85 MB: DFT
+    matrices + Toeplitz pack) multiply TPU remote-compile time by ~7x per
+    engine instance in the graph."""
+
+    ga_re: jnp.ndarray
+    ga_im: jnp.ndarray
+    gb_re: jnp.ndarray
+    gb_im: jnp.ndarray
+    fh_re: jnp.ndarray
+    fh_im: jnp.ndarray
+    prek: jnp.ndarray
+    kbias: jnp.ndarray
+    toeplitz: jnp.ndarray
+    pz_kfac: jnp.ndarray
+    wp: jnp.ndarray
+    wc: jnp.ndarray
+    pab_M: jnp.ndarray      # [npts, nk] Pab extension matrix (transposed use)
+    pab_v: jnp.ndarray
+    dft_np: object          # DFTConsts or None (fft mode)
+    dft_2np: object
+
+
+def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
+    """Build the engine constant pack (host -> device arrays, once)."""
+    g = make_grids(cfg)
+    co = fastpt_coeffs(cfg)
+    M, v = _pab_ext(cfg)
+    use_matmul = fourier._resolve(mode) == "matmul"
+    return EngineConsts(
+        ga_re=jnp.asarray(co.ga_re), ga_im=jnp.asarray(co.ga_im),
+        gb_re=jnp.asarray(co.gb_re), gb_im=jnp.asarray(co.gb_im),
+        fh_re=jnp.asarray(co.fh_re), fh_im=jnp.asarray(co.fh_im),
+        prek=jnp.asarray(co.prek), kbias=jnp.asarray(co.kbias),
+        toeplitz=jnp.asarray(co.toeplitz), pz_kfac=jnp.asarray(co.pz_kfac),
+        wp=jnp.asarray(g.wp), wc=jnp.asarray(g.wc),
+        pab_M=jnp.asarray(M), pab_v=jnp.asarray(v),
+        dft_np=fourier.dft_consts(g.npts) if use_matmul else None,
+        dft_2np=fourier.dft_consts(2 * g.npts) if use_matmul else None)
+
+
+def extend_power(cfg: SolverConfig, lnP3: jnp.ndarray, n_s,
+                 ec: EngineConsts | None = None) -> jnp.ndarray:
     """ln P [3, nk] -> windowed P on the extended grid [3, np] (reference
     redTime.cc:771-778: Pab extrapolation times the WP window)."""
-    g = make_grids(cfg)
-    M, v = _pab_ext(cfg)
-    lnP_ext = lnP3 @ jnp.asarray(M.T) + (n_s - 3.0) * jnp.asarray(v)
-    return jnp.exp(lnP_ext) * jnp.asarray(g.wp)
+    if ec is None:
+        g = make_grids(cfg)
+        M, v = _pab_ext(cfg)
+        M, v, wp = jnp.asarray(M), jnp.asarray(v), jnp.asarray(g.wp)
+    else:
+        M, v, wp = ec.pab_M, ec.pab_v, ec.wp
+    lnP_ext = lnP3 @ M.T + (n_s - 3.0) * v
+    return jnp.exp(lnP_ext) * wp
 
 
 def _cmul(ar, ai, br, bi):
@@ -256,7 +303,7 @@ def _cmul(ar, ai, br, bi):
 
 
 def compute_J_PZ(cfg: SolverConfig, P_ext: jnp.ndarray, with_rsd: bool,
-                 mode: str = "auto"):
+                 mode: str = "auto", ec: EngineConsts | None = None):
     """The batched FFT-log engine.
 
     P_ext: windowed spectra on the extended grid [3, np] (from extend_power;
@@ -269,44 +316,43 @@ def compute_J_PZ(cfg: SolverConfig, P_ext: jnp.ndarray, with_rsd: bool,
       PZ [7, 3, 3, np]    — the reference's PZ[63] layout.
     """
     g = make_grids(cfg)
-    co = fastpt_coeffs(cfg)
+    if ec is None:
+        ec = engine_consts(cfg, mode)
     npts, half = g.npts, g.npts // 2
     nfam = NFAM if with_rsd else NFAM_J
 
     # biased, coefficient-windowed forward transform of the three spectra
-    re, im = fourier.rfft(P_ext * jnp.asarray(co.kbias), mode)
-    wc = jnp.asarray(g.wc)
-    re, im = re * wc, im * wc
+    re, im = fourier.rfft(P_ext * ec.kbias, mode, ec.dft_np)
+    re, im = re * ec.wc, im * ec.wc
     ca_re, ca_im = re[:, :half], im[:, :half]       # freqs [0, np/2)
 
     # per-family coefficient products, embedded in a length-(2np)
     # half-spectrum (zero-padded: linear convolution)
     def coeff_spectra(gr, gi):
         sr, si = _cmul(ca_re[None], ca_im[None],
-                       jnp.asarray(gr[:nfam, None]),
-                       jnp.asarray(gi[:nfam, None]))   # [nfam, 3, half]
+                       gr[:nfam, None], gi[:nfam, None])   # [nfam, 3, half]
         pad = jnp.zeros(sr.shape[:-1] + (npts + 1 - half,), sr.dtype)
         return (jnp.concatenate([sr, pad], -1),
                 jnp.concatenate([si, pad], -1))
 
-    sa_re, sa_im = coeff_spectra(co.ga_re, co.ga_im)
-    sb_re, sb_im = coeff_spectra(co.gb_re, co.gb_im)
+    sa_re, sa_im = coeff_spectra(ec.ga_re, ec.ga_im)
+    sb_re, sb_im = coeff_spectra(ec.gb_re, ec.gb_im)
 
     # spectral convolution C_h = sum_{m+n=h} (c g^a)_m (c g^b)_n over all
     # 3x3 spectrum pairs (reference iconvolve/cconvolve step)
     n2 = 2 * npts
-    ta = fourier.hc_backward(sa_re, sa_im, n2, mode)   # [nfam, 3, 2np]
-    tb = fourier.hc_backward(sb_re, sb_im, n2, mode)
+    ta = fourier.hc_backward(sa_re, sa_im, n2, mode, ec.dft_2np)
+    tb = fourier.hc_backward(sb_re, sb_im, n2, mode, ec.dft_2np)
     prod = ta[:, :, None, :] * tb[:, None, :, :] / n2  # [nfam, 3, 3, 2np]
-    c_re, c_im = fourier.rfft(prod, mode)              # [nfam, 3, 3, np+1]
+    c_re, c_im = fourier.rfft(prod, mode, ec.dft_2np)  # [nfam, 3, 3, np+1]
 
     # multiply by f (and tau phase, baked into fh), back-transform, sample
     # the even points (the reference's stride-2 read, redTime.cc:507,593)
     cf_re, cf_im = _cmul(c_re, c_im,
-                         jnp.asarray(co.fh_re[:nfam, None, None]),
-                         jnp.asarray(co.fh_im[:nfam, None, None]))
-    t = fourier.hc_backward(cf_re, cf_im, n2, mode)    # [nfam, 3, 3, 2np]
-    J = t[..., ::2] * jnp.asarray(co.prek[:nfam, None, None, :])
+                         ec.fh_re[:nfam, None, None],
+                         ec.fh_im[:nfam, None, None])
+    t = fourier.hc_backward(cf_re, cf_im, n2, mode, ec.dft_2np)
+    J = t[..., ::2] * ec.prek[:nfam, None, None, :]
 
     if not with_rsd:
         J = jnp.concatenate(
@@ -314,7 +360,7 @@ def compute_J_PZ(cfg: SolverConfig, P_ext: jnp.ndarray, with_rsd: bool,
 
     # PZ: Toeplitz contraction + pointwise k^3 P_b factor (reference PZ_reg
     # output line :720-724 with the icd!=0 ratio construction :797-800)
-    conv = jnp.einsum("nim,am->nai", jnp.asarray(co.toeplitz), P_ext)
-    PZ = jnp.asarray(co.pz_kfac) * conv[:, :, None, :] * P_ext[None, None]
+    conv = jnp.einsum("nim,am->nai", ec.toeplitz, P_ext)
+    PZ = ec.pz_kfac * conv[:, :, None, :] * P_ext[None, None]
 
     return J, PZ

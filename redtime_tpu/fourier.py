@@ -53,7 +53,26 @@ def _resolve(mode: str) -> str:
     return mode
 
 
-def rfft(x: jnp.ndarray, mode: str = "auto"):
+from typing import NamedTuple, Optional  # noqa: E402
+
+
+class DFTConsts(NamedTuple):
+    """DFT matrices for one transform length, as a pytree so callers can
+    pass them as jit *arguments* — baking ~MB-scale f64 constants into the
+    HLO multiplies TPU remote-compile time by ~7x."""
+
+    fc: jnp.ndarray
+    fs: jnp.ndarray
+    bc: jnp.ndarray
+    bs: jnp.ndarray
+
+
+def dft_consts(n: int) -> DFTConsts:
+    return DFTConsts(*[jnp.asarray(m) for m in _dft_matrices(n)])
+
+
+def rfft(x: jnp.ndarray, mode: str = "auto",
+         dft: Optional[DFTConsts] = None):
     """Forward real FFT: [..., n] -> ((re, im), each [..., n//2+1]).
 
     Sign convention e^{-2 pi i j m / n}, matching both numpy and GSL's
@@ -64,9 +83,13 @@ def rfft(x: jnp.ndarray, mode: str = "auto"):
         z = jnp.fft.rfft(x)
         re, im = jnp.real(z), jnp.imag(z)
     else:
-        fc, fs, _, _ = _dft_matrices(n)
-        re = x @ jnp.asarray(fc)
-        im = -(x @ jnp.asarray(fs))
+        if dft is None:
+            fc, fs, _, _ = _dft_matrices(n)
+            fc, fs = jnp.asarray(fc), jnp.asarray(fs)
+        else:
+            fc, fs = dft.fc, dft.fs
+        re = x @ fc
+        im = -(x @ fs)
     # enforce the halfcomplex structure exactly (no imag slots at DC/Nyquist)
     im = im.at[..., 0].set(0.0)
     if n % 2 == 0:
@@ -75,18 +98,24 @@ def rfft(x: jnp.ndarray, mode: str = "auto"):
 
 
 def hc_backward(re: jnp.ndarray, im: jnp.ndarray, n: int,
-                mode: str = "auto") -> jnp.ndarray:
+                mode: str = "auto",
+                dft: Optional[DFTConsts] = None) -> jnp.ndarray:
     """Unnormalized backward transform of a Hermitian half-spectrum:
     t_j = sum_{h=0}^{n-1} S_h e^{+2 pi i j h / n}, S Hermitian-extended.
     Returns the real sequence [..., n]."""
     if _resolve(mode) == "fft":
         z = re + 1j * im
         return jnp.fft.irfft(z, n) * n
-    _, _, bc, bs = _dft_matrices(n)
-    return re @ jnp.asarray(bc) + im @ jnp.asarray(bs)
+    if dft is None:
+        _, _, bc, bs = _dft_matrices(n)
+        bc, bs = jnp.asarray(bc), jnp.asarray(bs)
+    else:
+        bc, bs = dft.bc, dft.bs
+    return re @ bc + im @ bs
 
 
-def spectral_convolve(re_a, im_a, re_b, im_b, n: int, mode: str = "auto"):
+def spectral_convolve(re_a, im_a, re_b, im_b, n: int, mode: str = "auto",
+                      dft: Optional[DFTConsts] = None):
     """Linear convolution of two Hermitian spectra: C_h = sum_m A_m B_{h-m}.
 
     A, B given as half-spectra of length n//2+1 (supports must be < n/2 so
@@ -94,7 +123,7 @@ def spectral_convolve(re_a, im_a, re_b, im_b, n: int, mode: str = "auto"):
     the reference's `iconvolve`/`cconvolve` step (redTime.cc:373-394):
     C = fft(ifft(A) * ifft(B)) * n.  Returns (re_c, im_c) [..., n//2+1].
     """
-    ta = hc_backward(re_a, im_a, n, mode)
-    tb = hc_backward(re_b, im_b, n, mode)
+    ta = hc_backward(re_a, im_a, n, mode, dft)
+    tb = hc_backward(re_b, im_b, n, mode, dft)
     prod = ta * tb / n          # ta*tb = n^2 * ifft(A)*ifft(B)
-    return rfft(prod, mode)
+    return rfft(prod, mode, dft)

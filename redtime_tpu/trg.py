@@ -63,12 +63,12 @@ def omega_matrix(cfg: SolverConfig, model: mdl.Model, a):
 
 
 def compute_mode_coupling_full(cfg: SolverConfig, lnP3, n_s, with_rsd: bool,
-                               k, mode: str = "auto"):
+                               k, mode: str = "auto", ec=None):
     """Full FAST-PT evaluation from the current spectra; returns
     (A_unique [14, nk], R [3,8,nk], PT [9,nk], PMR [8,nk])."""
     g = make_grids(cfg)
-    P_ext = fastpt.extend_power(cfg, lnP3, n_s)
-    J, PZ = fastpt.compute_J_PZ(cfg, P_ext, with_rsd, mode)
+    P_ext = fastpt.extend_power(cfg, lnP3, n_s, ec)
+    J, PZ = fastpt.compute_J_PZ(cfg, P_ext, with_rsd, mode, ec)
     sl = slice(g.nshift, g.nshift + g.nk)
     nlo = g.nshift - g.nk // 2          # reference :1252
     return assembly.assemble(J[:7, :, :, sl], PZ[..., sl],
@@ -76,7 +76,8 @@ def compute_mode_coupling_full(cfg: SolverConfig, lnP3, n_s, with_rsd: bool,
 
 
 def build_oneloop_cache(cfg: SolverConfig, settings: RunSettings,
-                        model: mdl.Model, mode: str = "auto") -> OneLoopCache:
+                        model: mdl.Model, mode: str = "auto",
+                        ec=None) -> OneLoopCache:
     """Evaluate the mode coupling at z1l from the LINEAR cb spectrum
     (reference :1295-1313: all three rows are ln P_lin_cb, no f factors)."""
     g = make_grids(cfg)
@@ -84,7 +85,7 @@ def build_oneloop_cache(cfg: SolverConfig, settings: RunSettings,
     lnP3 = jnp.broadcast_to(jnp.log(Pcb), (3, g.nk))
     A_u, R, PT, PMR = compute_mode_coupling_full(
         cfg, lnP3, model.cosmo.n_s, settings.print_rsd, jnp.asarray(g.k),
-        mode)
+        mode, ec)
     D_z1l, _ = mdl.growth_D_f(model, cfg.z1l)
     return OneLoopCache(assembly.expand64(A_u), R, PT, PMR, D_z1l)
 
@@ -111,7 +112,7 @@ def _collapse_pt(PT):
 
 
 def make_rhs(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
-             cache: OneLoopCache | None, mode: str = "auto"):
+             cache: OneLoopCache | None, mode: str = "auto", ec=None):
     """Build the flattened-state RHS dy/deta (reference derivatives())."""
     g = make_grids(cfg)
     nk = g.nk
@@ -135,7 +136,8 @@ def make_rhs(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
                                                eta)
             else:
                 A_u, R, _, _ = compute_mode_coupling_full(
-                    cfg, lnP, model.cosmo.n_s, settings.print_rsd, k, mode)
+                    cfg, lnP, model.cosmo.n_s, settings.print_rsd, k, mode,
+                    ec)
                 A64 = assembly.expand64(A_u)
             Ifull = assembly.expand64(y[NUP:NUP + NUI]).reshape(
                 2, 2, 2, 2, 2, 2, nk)
@@ -200,7 +202,7 @@ def initial_state(cfg: SolverConfig, settings: RunSettings,
 
 
 def evolve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
-           mode: str = "auto"):
+           mode: str = "auto", ec=None):
     """Integrate the Time-RG system through all output redshifts.
 
     Returns (ys [n_eta, 41, nk], cache) where ys[i] is the state at output
@@ -209,24 +211,27 @@ def evolve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
     step-size suggestion carried across output boundaries.
     """
     g = make_grids(cfg)
-    cache = (build_oneloop_cache(cfg, settings, model, mode)
+    cache = (build_oneloop_cache(cfg, settings, model, mode, ec)
              if settings.nonlinear and settings.one_loop else None)
-    rhs = make_rhs(cfg, settings, model, cache, mode)
+    rhs = make_rhs(cfg, settings, model, cache, mode, ec)
 
     y = initial_state(cfg, settings, model)
     eta_fin = float(np.log(1.0 / settings.a_in))
     h = 1e-2 * eta_fin
-    etasteps = settings.etasteps()
+    etasteps = np.asarray(settings.etasteps())
+    t0s = np.concatenate([[0.0], etasteps[:-1]])
 
-    outs = []
-    eta_prev = 0.0
-    for i, eta_i in enumerate(etasteps):
-        if eta_i > eta_prev:
-            y, h = integrate_interval(rhs, eta_prev, float(eta_i), y, h,
-                                      cfg.eabs_P, cfg.erel_P, RKF45)
-        outs.append(y.reshape(NU_STATE, g.nk))
-        eta_prev = float(eta_i)
-    return jnp.stack(outs), cache
+    # one scanned interval integrator: the RHS/while_loop graph is traced
+    # once, not once per output redshift (compile-size critical on TPU)
+    def seg(carry, t0t1):
+        y, h = carry
+        y2, h2 = integrate_interval(rhs, t0t1[0], t0t1[1], y, h,
+                                    cfg.eabs_P, cfg.erel_P, RKF45)
+        return (y2, h2), y2
+
+    segs = jnp.stack([jnp.asarray(t0s), jnp.asarray(etasteps)], axis=1)
+    _, outs = jax.lax.scan(seg, (y, jnp.asarray(h)), segs)
+    return outs.reshape(len(etasteps), NU_STATE, g.nk), cache
 
 
 def pbis_j(cfg: SolverConfig, ys: jnp.ndarray):

@@ -1,0 +1,102 @@
+"""Writer format parity and convertPt equivalence tests."""
+
+import io
+
+import numpy as np
+
+from redtime_tpu.convert import (STEP_TO_ZBLOCK, convert_pt_one,
+                                 read_redtime_table)
+from redtime_tpu.io.writer import _g, _w, write_result
+
+
+def test_g_formatting_matches_cpp_default_float():
+    # C++ setprecision(12) default-float == %.12g
+    cases = {
+        0.001: "0.001",
+        254.596438721: "254.596438721",
+        2.40137974801e-06: "2.40137974801e-06",
+        -9.46172766184e-09: "-9.46172766184e-09",
+        0.166666666666667: "0.166666666667",
+        5.0: "5",
+        0.5: "0.5",
+        0.0: "0",
+    }
+    for x, s in cases.items():
+        assert _g(x) == s, (x, _g(x), s)
+
+
+def test_w_width():
+    assert len(_w(0.001)) == 20
+    assert _w(0.001).endswith("0.001")
+
+
+class _FakeResult:
+    def __init__(self):
+        self.table = np.arange(2 * 3 * 4, dtype=float).reshape(2, 3, 4)
+        self.eta = np.array([1.0, 2.0])
+        self.a = np.array([0.5, 1.0])
+        self.z = np.array([1.0, 0.0])
+        self.H = np.array([4e-4, 3e-4])
+        self.sigma_v2 = np.array([10.0, 37.9])
+        self.sigmaV2_z0 = 37.9
+        self.eta_fin = 5.3033
+
+
+def test_write_result_structure():
+    buf = io.StringIO()
+    write_result(buf, _FakeResult(), "params_redTime.dat")
+    text = buf.getvalue()
+    lines = text.split("\n")
+    assert lines[0].startswith("#cosmological_parameters: opening")
+    assert lines[1].startswith("###main: eta_fin = 5.3033,")
+    assert lines[2].startswith("### main: output at eta=1, a=0.5, z=1,")
+    # 3 data rows, then two blank lines, then next block header
+    assert lines[6] == "" and lines[7] == ""
+    assert lines[8].startswith("### main: output at eta=2")
+    # round-trips through the reference's numpy.loadtxt-style parsing
+    data = [[float(x) for x in ln.split()] for ln in lines
+            if ln.strip() and not ln.startswith("#")]
+    assert np.allclose(np.array(data).reshape(2, 3, 4),
+                       _FakeResult().table)
+
+
+def test_convert_pt_one(tmp_path):
+    # synthetic 33-z redTime table
+    nz, nk = 33, 8
+    table = np.zeros((nz, nk, 17))
+    k = np.logspace(-3, 0, nk)
+    for iz in range(nz):
+        table[iz, :, 0] = k
+        table[iz, :, 7] = 100.0 * (iz + 1) / k
+    h, f_cb = 0.7, 0.98
+    kk, pk = convert_pt_one(table, h, f_cb, 300)
+    iz = STEP_TO_ZBLOCK[300]
+    assert np.allclose(kk, k * h)
+    assert np.allclose(pk, table[iz, :, 7] / h ** 3 * f_cb ** 2)
+
+    # file round trip through the writer format
+    path = tmp_path / "redTime_M001.dat"
+    with open(path, "w") as f:
+        f.write("# header\n")
+        for iz in range(nz):
+            f.write(f"### block {iz}\n")
+            for row in table[iz]:
+                f.write(" ".join(repr(float(v)) for v in row) + "\n")
+            f.write("\n\n")
+    rt = read_redtime_table(str(path), nk)
+    assert rt.shape == (nz, nk, 17)
+    assert np.allclose(rt, table)
+
+
+def test_run_redtime_derivations():
+    import sys
+    sys.path.insert(0, "scripts")
+    from run_redtime import derive
+
+    # reference example: M032-like little omegas
+    d = derive(0.1543, 0.02323, 0.003107, 0.73418)
+    assert np.isclose(d["Omega_m"], 0.1543 / 0.73418 ** 2)
+    assert np.isclose(d["Omega_nu"], 0.003107 / 0.73418 ** 2)
+    assert d["massless_nu"] == 0.0 and d["massive_nu"] == 3.046
+    d2 = derive(0.1543, 0.02323, 0.0, 0.73418)
+    assert d2["massless_nu"] == 3.046 and d2["massive_nu"] == 0.0
