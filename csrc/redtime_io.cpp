@@ -1,0 +1,96 @@
+// Native data-loading runtime for redtime_tpu.
+//
+// The reference's IO layer is C++ (ifstream parsing in
+// AU_cosmological_parameters.h and AU_tabfun.h); this is its TPU-framework
+// counterpart: a fast, thread-parallel reader for CAMB transfer-function
+// stacks (the per-cosmology beta_P input is ~33 files x 15k rows x 7 cols).
+// Exposed through ctypes (redtime_tpu/io/native.py); numpy remains the
+// fallback when the shared library is unavailable.
+//
+// Build: make -C csrc   (g++ -O3 -shared -fPIC -fopenmp)
+
+#include <cerrno>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Parse a whitespace-separated numeric table, skipping '#' comment lines.
+// out must hold max_rows*ncols doubles.  Returns the number of complete
+// rows parsed, or -1 on IO error.
+long parse_table(const char *path, long ncols, double *out, long max_rows) {
+  FILE *f = fopen(path, "rb");
+  if (!f)
+    return -1;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  char *buf = (char *)malloc(size + 1);
+  if (!buf) {
+    fclose(f);
+    return -1;
+  }
+  if ((long)fread(buf, 1, size, f) != size) {
+    free(buf);
+    fclose(f);
+    return -1;
+  }
+  buf[size] = '\0';
+  fclose(f);
+
+  long rows = 0;
+  char *p = buf, *end = buf + size;
+  while (p < end && rows < max_rows) {
+    // skip leading whitespace
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n'))
+      p++;
+    if (p >= end)
+      break;
+    if (*p == '#') { // comment line
+      while (p < end && *p != '\n')
+        p++;
+      continue;
+    }
+    // parse one row
+    long c = 0;
+    char *q = p;
+    for (; c < ncols; c++) {
+      errno = 0;
+      char *next;
+      double v = strtod(q, &next);
+      if (next == q)
+        break; // no progress: malformed/extra text
+      out[rows * ncols + c] = v;
+      q = next;
+    }
+    if (c == ncols)
+      rows++;
+    // advance to end of line (ignore extra columns)
+    p = q;
+    while (p < end && *p != '\n')
+      p++;
+  }
+  free(buf);
+  return rows;
+}
+
+// Load a stack of identically-shaped tables in parallel.
+// paths: array of n C strings; out holds n*max_rows*ncols doubles.
+// rows_out[i] receives the per-file row count (-1 on error).
+void parse_stack(const char **paths, long n, long ncols, double *out,
+                 long max_rows, long *rows_out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (long i = 0; i < n; i++) {
+    rows_out[i] = parse_table(paths[i], ncols, out + i * max_rows * ncols,
+                              max_rows);
+  }
+}
+
+} // extern "C"

@@ -26,15 +26,18 @@ MAX_BETA_ROWS = 30000  # reference :548
 
 
 def read_transfer_file(path: str, modern: bool = False) -> np.ndarray:
-    """Read a CAMB transfer file -> array [n_rows, n_cols] (float64)."""
+    """Read a CAMB transfer file -> array [n_rows, n_cols] (float64).
+
+    Uses the native C++ parser (csrc/redtime_io.cpp) when built, numpy
+    otherwise."""
+    from redtime_tpu.io import native
+
     ncols = 13 if modern else 7
-    data = np.loadtxt(path)
-    if data.ndim == 1:
-        data = data[None, :]
-    if data.shape[1] < ncols:
-        raise ValueError(
-            f"{path}: expected >= {ncols} columns, got {data.shape[1]}")
-    return data[:, :ncols]
+    data = native.parse_table(path, ncols)
+    if data.shape[0] == 0:
+        raise ValueError(f"{path}: no parseable {ncols}-column rows "
+                         "(corrupt or wrong-format transfer file)")
+    return data
 
 
 class LinearData(NamedTuple):
@@ -67,14 +70,23 @@ def load_linear_data(transfer_file: str,
         beta_k = np.zeros((0,))
         beta_raw = np.zeros((0, 0))
     else:
-        first = read_transfer_file(nu_files[0], modern)[:MAX_BETA_ROWS]
+        from redtime_tpu.io import native
+
+        ncols = 13 if modern else 7
+        tables = native.parse_stack(list(nu_files), ncols,
+                                    max_rows=2 * MAX_BETA_ROWS)
+        first = tables[0][:MAX_BETA_ROWS]
         beta_k = first[:, I_K].copy()
         nkb = len(beta_k)
         nz = len(nu_files)
         beta_raw = np.empty((nz, nkb))
         beta_raw[0] = first[:, I_DNU] / first[:, I_DC]
         for i in range(1, nz):
-            d = read_transfer_file(nu_files[i], modern)[:nkb]
+            d = tables[i][:nkb]
+            if d.shape[0] != nkb:
+                raise ValueError(
+                    f"{nu_files[i]}: {d.shape[0]} rows, expected {nkb} "
+                    "(corrupt transfer file or mismatched stack)")
             fdiff = 2.0 * np.abs(beta_k - d[:, I_K]) / (
                 np.abs(beta_k) + np.abs(d[:, I_K]))
             if np.any(fdiff > 1e-5):

@@ -1,0 +1,92 @@
+"""ctypes bindings for the native C++ IO runtime (csrc/redtime_io.cpp).
+
+Builds the shared library on first use if a toolchain is available;
+falls back to numpy when it isn't.  The native path parallelizes the
+per-cosmology transfer-stack load (33 files) over OpenMP threads.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     os.pardir, os.pardir, "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libredtime_io.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _CSRC], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.parse_table.restype = ctypes.c_long
+    lib.parse_table.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_long]
+    lib.parse_stack.restype = None
+    lib.parse_stack.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_long,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_table(path: str, ncols: int,
+                max_rows: int = 200000) -> np.ndarray:
+    """Parse a '#'-commented numeric table -> [rows, ncols].  Numpy
+    fallback when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        data = np.loadtxt(path)
+        if data.ndim == 1:
+            data = data[None, :]
+        return np.ascontiguousarray(data[:, :ncols])
+    out = np.empty((max_rows, ncols), dtype=np.float64)
+    rows = lib.parse_table(path.encode(), ncols, out, max_rows)
+    if rows < 0:
+        raise IOError(f"native parse failed for {path}")
+    return out[:rows].copy()
+
+
+def parse_stack(paths: Sequence[str], ncols: int,
+                max_rows: int = 200000) -> List[np.ndarray]:
+    """Parse many identically-formatted tables (OpenMP-parallel in the
+    native path)."""
+    lib = _load()
+    if lib is None:
+        return [parse_table(p, ncols, max_rows) for p in paths]
+    n = len(paths)
+    out = np.empty((n, max_rows, ncols), dtype=np.float64)
+    rows = np.empty(n, dtype=np.int64)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.parse_stack(arr, n, ncols, out, max_rows, rows)
+    result = []
+    for i, p in enumerate(paths):
+        if rows[i] < 0:
+            raise IOError(f"native parse failed for {p}")
+        result.append(out[i, :rows[i]].copy())
+    return result

@@ -83,8 +83,9 @@ def build_oneloop_cache(cfg: SolverConfig, settings: RunSettings,
     g = make_grids(cfg)
     _, Pcb, _ = mdl.plin_all(cfg, model, cfg.z1l)
     lnP3 = jnp.broadcast_to(jnp.log(Pcb), (3, g.nk))
+    engine_rsd = settings.print_rsd or cfg.print_q  # Q evolution needs R
     A_u, R, PT, PMR = compute_mode_coupling_full(
-        cfg, lnP3, model.cosmo.n_s, settings.print_rsd, jnp.asarray(g.k),
+        cfg, lnP3, model.cosmo.n_s, engine_rsd, jnp.asarray(g.k),
         mode, ec)
     D_z1l, _ = mdl.growth_D_f(model, cfg.z1l)
     return OneLoopCache(assembly.expand64(A_u), R, PT, PMR, D_z1l)
@@ -136,7 +137,7 @@ def make_rhs(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
                                                eta)
             else:
                 A_u, R, _, _ = compute_mode_coupling_full(
-                    cfg, lnP, model.cosmo.n_s, settings.print_rsd, k, mode,
+                    cfg, lnP, model.cosmo.n_s, evolve_q, k, mode,
                     ec)
                 A64 = assembly.expand64(A_u)
             Ifull = assembly.expand64(y[NUP:NUP + NUI]).reshape(

@@ -1,0 +1,86 @@
+"""Configuration-space smoke tests: non-default grids, extended output
+columns, high-accuracy-style settings (BASELINE configs 3-4)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+
+from redtime_tpu import SolverConfig, RunSettings, CosmoParams
+from redtime_tpu import driver, model as mdl
+from redtime_tpu.grids import make_grids
+
+
+def _toy_inputs(nu=True):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _example_inputs, _cosmo
+    return _cosmo(), _example_inputs(SolverConfig(), nu)
+
+
+SMALL = dict(growth_n_lna=16, growth_n_lnk=8, quad_panels=16, quad_order=8)
+
+
+def _run(cfg, settings):
+    cosmo, lin = _toy_inputs()
+    res = driver.run_pipeline(cfg, settings, cosmo, lin, mode="fft")
+    table = np.asarray(res.table)
+    assert np.all(np.isfinite(table))
+    assert table.shape == (len(settings.z_out), cfg.nk,
+                           driver.n_columns(cfg, settings))
+    return table
+
+
+def test_np_factor_8_grid_geometry():
+    """np = 8 nk activates the right-side taper the compiled reference
+    never reaches (redTime.cc:102 comment 'use for np = 8*nk')."""
+    cfg = SolverConfig(nk=64, np_factor=8, **SMALL)
+    g = make_grids(cfg)
+    assert g.npts == 512
+    # right taper now on-grid
+    assert g.wp[-1] == 0.0
+    assert np.any((g.wp > 0) & (g.wp < 1))
+    _run(cfg, RunSettings(z_out=(1.0, 0.0)))
+
+
+def test_extended_output_columns():
+    cfg = SolverConfig(nk=32, print_a=True, print_i=True, print_q=True,
+                       print_bias=True, **SMALL)
+    settings = RunSettings(z_out=(0.0,))
+    table = _run(cfg, settings)
+    # 1 + 6 + 3 + 14 + 14 + (5+9+8) + 24
+    assert table.shape[-1] == 1 + 6 + 3 + 14 + 14 + 22 + 24
+
+
+def test_print_q_without_rsd():
+    cfg = SolverConfig(nk=32, print_q=True, **SMALL)
+    settings = RunSettings(print_rsd=False, z_out=(0.0,))
+    table = _run(cfg, settings)
+    # Q columns evolved (nonzero) even though RSD columns are absent
+    assert table.shape[-1] == 1 + 6 + 3 + 24
+    assert np.any(table[:, :, 10:] != 0)
+
+
+def test_high_accuracy_style():
+    """HIGH_ACCURACY-flavored settings (reference ifdef: nk=512; here a
+    scaled-down variant exercising tight tolerances + wide beta clamp +
+    deeper a_early)."""
+    cfg = SolverConfig(nk=64, eabs_P=1e-12, erel_P=1e-5,
+                       beta_k_min=1e-5, beta_k_max=20.0, a_early=1e-30,
+                       **SMALL)
+    t_def = _run(SolverConfig(nk=64, **SMALL), RunSettings(z_out=(0.0,)))
+    t_ha = _run(cfg, RunSettings(z_out=(0.0,)))
+    # same physics, close but not identical (different tolerances)
+    rel = np.abs(t_ha[:, :, 7] / t_def[:, :, 7] - 1)
+    assert np.max(rel) < 5e-2
+    assert np.max(rel) > 0
+
+
+def test_linear_only_mode():
+    cfg = SolverConfig(nk=32, **SMALL)
+    settings = RunSettings(nonlinear=False, z_out=(1.0, 0.0))
+    table = _run(cfg, settings)
+    # no RSD signal in linear mode
+    assert np.all(table[:, :, 10:] == 0)
