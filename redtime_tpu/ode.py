@@ -90,22 +90,23 @@ DOPRI5 = Tableau(
 
 
 def rk_step(rhs: Callable, t, h, y, tab: Tableau):
-    """One embedded RK step: returns (y_new, yerr)."""
+    """One embedded RK step: returns (y_new, yerr).
+
+    The stage loop is a lax.fori_loop so the RHS appears ONCE in the
+    compiled graph rather than s times — the RHS here can contain the whole
+    FAST-PT engine, and TPU remote-compile time scales with graph size."""
     s = len(tab.c)
-    ks = []
-    for i in range(s):
-        yi = y
-        for j in range(i):
-            if tab.a[i, j] != 0.0:
-                yi = yi + (h * tab.a[i, j]) * ks[j]
-        ks.append(rhs(t + tab.c[i] * h, yi))
-    y_new = y
-    yerr = jnp.zeros_like(y)
-    for i in range(s):
-        if tab.b[i] != 0.0:
-            y_new = y_new + (h * tab.b[i]) * ks[i]
-        if tab.e[i] != 0.0:
-            yerr = yerr + (h * tab.e[i]) * ks[i]
+    a_mat = jnp.asarray(tab.a)
+    c_vec = jnp.asarray(tab.c)
+
+    def stage(i, ks):
+        yi = y + h * jnp.tensordot(a_mat[i], ks, axes=1)
+        return ks.at[i].set(rhs(t + c_vec[i] * h, yi))
+
+    ks = jax.lax.fori_loop(0, s, stage,
+                           jnp.zeros((s,) + y.shape, dtype=y.dtype))
+    y_new = y + h * jnp.tensordot(jnp.asarray(tab.b), ks, axes=1)
+    yerr = h * jnp.tensordot(jnp.asarray(tab.e), ks, axes=1)
     return y_new, yerr
 
 
