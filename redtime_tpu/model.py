@@ -361,6 +361,42 @@ def plin_all(cfg: SolverConfig, model: Model, z):
     return P, Pcb, Pnu
 
 
+def comoving_distance_table(cfg: SolverConfig, c: CosmoParams,
+                            a_in: float, n: int = 1000):
+    """H0*chi(eta) table (reference H0chi_eta_init, :742-784): cumulative
+    integral of dz/(H/H0) over a 1000-point log-z grid in [1e-4, 1e4],
+    returned as (eta_nodes ascending, H0chi values).
+
+    The reference never calls this from main() (dead API surface, SURVEY
+    #9h); provided for API completeness.  Each panel uses fixed
+    Gauss-Legendre in place of gsl qag (rel 1e-4).
+    """
+    zmin, zmax = 1e-4, 1e4
+    dlnz = np.log(zmax / zmin) / (n - 1)
+    z_nodes = zmin * np.exp(dlnz * np.arange(n))
+    edges = np.concatenate([[0.0], z_nodes])
+    x, w = np.polynomial.legendre.leggauss(16)
+    lo, hi = edges[:-1, None], edges[1:, None]
+    zq = 0.5 * (hi - lo) * x[None, :] + 0.5 * (hi + lo)   # [n, 16]
+    wq = 0.5 * (hi - lo) * w[None, :]
+    integrand = 1.0 / bg.H_H0(c, 1.0 / (1.0 + jnp.asarray(zq)))
+    panels = jnp.sum(jnp.asarray(wq) * integrand, axis=1)
+    chi = jnp.cumsum(panels)                               # H0chi(z_nodes)
+    eta = np.log((1.0 / (1.0 + z_nodes)) / a_in)
+    # ascending eta = descending z
+    return jnp.asarray(eta[::-1].copy()), chi[::-1]
+
+
+def h0_chi(cfg: SolverConfig, c: CosmoParams, a_in: float, eta):
+    """H0*chi at eta = ln(a/a_in) (reference H0chi, :773-784): returns z
+    itself below z=1e-4, table interpolation otherwise."""
+    eta_nodes, chi = comoving_distance_table(cfg, c, a_in)
+    a = a_in * jnp.exp(jnp.asarray(eta))
+    z = 1.0 / a - 1.0
+    val = interp.interp1(eta_nodes, chi, jnp.asarray(eta))
+    return jnp.where(z <= 1e-4, z, val)
+
+
 def sigma_v2(model: Model, z):
     """sigma_v^2(z) = D(z, kmin)^2 * sigma_v^2(0) (reference :963-970;
     kmin_sv2 = 1e-3 is the first solver grid point)."""

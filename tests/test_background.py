@@ -84,3 +84,25 @@ def test_vmap_over_cosmologies():
     assert h2.shape == (2,)
     assert np.isclose(float(h2[0]), float(bg.H2_H02(LCDM, 0.5)))
     assert np.isclose(float(h2[1]), float(bg.H2_H02(NU, 0.5)))
+
+
+def test_comoving_distance():
+    # EdS-like sanity: H0*chi increases with z; matches direct quadrature
+    from redtime_tpu.config import SolverConfig
+    from redtime_tpu import model as M
+    import scipy.integrate as si
+    from redtime_tpu import background as bgmod
+
+    cfg = SolverConfig()
+    a_in = 1.0 / 201.0
+    c = LCDM
+    for z in (0.5, 3.0):
+        eta = np.log((1.0 / (1.0 + z)) / a_in)
+        got = float(M.h0_chi(cfg, c, a_in, eta))
+        want, _ = si.quad(
+            lambda zz: 1.0 / float(bgmod.H_H0(c, 1.0 / (1.0 + zz))), 0, z,
+            epsrel=1e-10)
+        assert np.isclose(got, want, rtol=1e-3), (z, got, want)
+    # below z=1e-4 the reference returns z itself
+    eta0 = np.log((1.0 / (1.0 + 5e-5)) / a_in)
+    assert np.isclose(float(M.h0_chi(cfg, c, a_in, eta0)), 5e-5, rtol=1e-6)
