@@ -22,10 +22,18 @@ import time
 
 
 def _setup_jax(platform: str | None):
+    if platform == "cpu":
+        # must happen before jax initializes a backend; some accelerator
+        # plugins (axon tunnel) otherwise win regardless
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
     jax.config.update("jax_enable_x64", True)
     if platform == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
         try:
             jax.config.update("jax_default_device", jax.devices("cpu")[0])
         except RuntimeError:
@@ -74,10 +82,31 @@ def cmd_batch(args) -> int:
     from redtime_tpu.config import SolverConfig
     from redtime_tpu.driver import run_batch
     from redtime_tpu.io.writer import write_result_to_path
+    from redtime_tpu.profiling import StageTimer, device_trace
 
     cfg = SolverConfig(fft_mode=args.mode)
+    timer = StageTimer(enabled=args.timing)
 
-    loaded = [_load(path, args.modern) for path in args.params_files]
+    def outname(path):
+        name = os.path.splitext(os.path.basename(path))[0]
+        return os.path.join(args.output_dir,
+                            name.replace("params_", "") + ".dat")
+
+    params_files = list(args.params_files)
+    if args.skip_existing:
+        skipped = [p for p in params_files if os.path.exists(outname(p))]
+        params_files = [p for p in params_files
+                        if not os.path.exists(outname(p))]
+        if skipped:
+            print(f"# skipping {len(skipped)} already-produced outputs",
+                  file=sys.stderr)
+        if not params_files:
+            return 0
+    args = argparse.Namespace(**{**vars(args),
+                                 "params_files": params_files})
+
+    with timer.stage("load-inputs"):
+        loaded = [_load(path, args.modern) for path in args.params_files]
     settings = loaded[0][2]
     for path, (_, _, s, _) in zip(args.params_files, loaded):
         if s != settings:
@@ -102,20 +131,45 @@ def cmd_batch(args) -> int:
         print(f"# sharding batch of {n} over {nd} devices", file=sys.stderr)
 
     t0 = time.time()
-    res = run_batch(cfg, settings, cosmos, lins, mode=args.mode, mesh=mesh)
-    res.table.block_until_ready()
+    with device_trace(args.trace_dir):
+        with timer.stage("solve-batch"):
+            res = run_batch(cfg, settings, cosmos, lins, mode=args.mode,
+                            mesh=mesh)
+            res.table.block_until_ready()
     dt = time.time() - t0
 
+    # per-model failure detection: a diverged/NaN cosmology poisons only
+    # its own lane (the reference batch loop dies on first failure,
+    # runRedTimeBatch:2; here the rest of the design survives)
+    table = np.asarray(res.table)
+    bad = [args.params_files[i] for i in range(table.shape[0])
+           if not np.all(np.isfinite(table[i]))]
+
     os.makedirs(args.output_dir, exist_ok=True)
-    for i, path in enumerate(args.params_files):
-        name = os.path.splitext(os.path.basename(path))[0]
-        name = name.replace("params_", "")
-        one = jax.tree_util.tree_map(lambda x: x[i], res)
-        write_result_to_path(os.path.join(args.output_dir, f"{name}.dat"),
-                             one, os.path.basename(path))
+    with timer.stage("write-outputs"):
+        for i, path in enumerate(args.params_files):
+            if args.params_files[i] in bad:
+                continue
+            one = jax.tree_util.tree_map(lambda x: x[i], res)
+            write_result_to_path(outname(path), one,
+                                 os.path.basename(path))
     n = len(args.params_files)
     print(f"# {n} cosmologies in {dt:.1f}s "
           f"({n / dt * 60:.1f} cosmologies/min)", file=sys.stderr)
+    if args.timing:
+        print(timer.report(), file=sys.stderr)
+    if bad:
+        print(f"# WARNING: {len(bad)} model(s) produced non-finite "
+              f"output and were not written: {bad}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from redtime_tpu.convert import convert_pt
+
+    convert_pt(args.n_models, args.step, args.nk, args.models_file,
+               args.red_dir)
     return 0
 
 
@@ -147,7 +201,23 @@ def main(argv=None) -> int:
     b.add_argument("--output-dir", "-o", default=".")
     b.add_argument("--shard", action="store_true",
                    help="shard the batch over all visible devices")
+    b.add_argument("--skip-existing", action="store_true",
+                   help="skip models whose output file already exists")
+    b.add_argument("--timing", action="store_true",
+                   help="print per-stage wall-clock")
+    b.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler trace here")
     b.set_defaults(fn=cmd_batch)
+
+    cv = sub.add_parser("convert",
+                        help="emulator post-processing (convertPt)")
+    cv.add_argument("--n-models", type=int, required=True)
+    cv.add_argument("--step", type=int, required=True,
+                    help="HACC analysis step (163..499)")
+    cv.add_argument("--nk", type=int, default=128)
+    cv.add_argument("--models-file", required=True)
+    cv.add_argument("--red-dir", required=True)
+    cv.set_defaults(fn=cmd_convert)
 
     args = ap.parse_args(argv)
     return args.fn(args)
