@@ -38,6 +38,16 @@ class RunResult(NamedTuple):
     eta_fin: jnp.ndarray
 
 
+
+def _target_device():
+    """The device computation actually lands on: honors jax_default_device
+    (tests pin CPU while an accelerator plugin owns the default backend)."""
+    dev = jax.config.jax_default_device
+    if dev is None:
+        dev = jax.devices()[0]
+    return dev
+
+
 def n_columns(cfg: SolverConfig, settings: RunSettings) -> int:
     n = 1
     if settings.print_lin:
@@ -149,10 +159,33 @@ def solve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
 
 def run_pipeline(cfg: SolverConfig, settings: RunSettings, c: CosmoParams,
                  lin: LinearData, mode: str = "auto",
-                 use_jit: bool = True) -> RunResult:
-    """prepare_model + solve, jitted end-to-end."""
+                 use_jit: bool = True,
+                 prepare_on_host: bool | None = None) -> RunResult:
+    """prepare_model + solve, jitted end-to-end.
+
+    On an accelerator backend the per-cosmology setup runs on the host CPU
+    backend and only the solver runs on the device (the setup is
+    IO-adjacent and cheap; f64 growth while_loops also fault the current
+    TPU runtime), controlled by prepare_on_host (default: host when the
+    default backend is an accelerator)."""
     from redtime_tpu.fastpt import engine_consts
     ec = engine_consts(cfg, mode)
+
+    dev = _target_device()
+    if prepare_on_host is None:
+        prepare_on_host = dev.platform != "cpu"
+
+    if use_jit and prepare_on_host:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            m = jax.jit(
+                lambda cc, ll: mdl.prepare_model(cfg, cc, ll))(
+                    jax.device_put(c, cpu), jax.device_put(lin, cpu))
+            jax.block_until_ready(m)
+        m = jax.device_put(m, dev)
+        ec = jax.device_put(ec, dev)
+        return jax.jit(lambda mm, e: solve(cfg, settings, mm, mode, e))(
+            m, ec)
 
     def go(c, lin, ec):
         m = mdl.prepare_model(cfg, c, lin)
@@ -165,13 +198,36 @@ def run_pipeline(cfg: SolverConfig, settings: RunSettings, c: CosmoParams,
 
 def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
               lins: LinearData, mode: str = "auto",
-              mesh=None, axis: str = "batch") -> RunResult:
+              mesh=None, axis: str = "batch",
+              prepare_on_host: bool | None = None) -> RunResult:
     """Batched pipeline: vmap over stacked cosmologies, optionally sharded
     over a device mesh along the batch axis (embarrassingly parallel — the
     Time-RG math has no cross-cosmology coupling, so the only communication
     is the output gather; SURVEY section 5.8)."""
     from redtime_tpu.fastpt import engine_consts
     ec = engine_consts(cfg, mode)
+
+    dev = _target_device()
+    if prepare_on_host is None:
+        prepare_on_host = dev.platform != "cpu"
+
+    if prepare_on_host:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            ms = jax.jit(jax.vmap(
+                lambda cc, ll: mdl.prepare_model(cfg, cc, ll)))(
+                    jax.device_put(cs, cpu), jax.device_put(lins, cpu))
+            jax.block_until_ready(ms)
+        fn = jax.vmap(lambda m, e: solve(cfg, settings, m, mode, e),
+                      in_axes=(0, None))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P(axis))
+            ms = jax.device_put(ms, sh)
+            ec = jax.device_put(ec, NamedSharding(mesh, P()))
+            return jax.jit(fn, out_shardings=sh)(ms, ec)
+        return jax.jit(fn)(jax.device_put(ms, dev),
+                           jax.device_put(ec, dev))
 
     def go(cb, lb, ec):
         m = mdl.prepare_model(cfg, cb, lb)
