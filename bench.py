@@ -46,8 +46,41 @@ BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 BASELINE = 100.0  # cosmologies/min target
 
 
+def _accelerator_responsive(timeout_s: float = 180.0) -> bool:
+    """The axon TPU tunnel can wedge (execution hangs indefinitely while
+    compiles still answer).  Probe a trivial op in a daemon thread; on
+    timeout, fall back to CPU so the bench still reports."""
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            jax.jit(lambda x: x + 1)(jnp.ones(3)).block_until_ready()
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if os.environ.get("BENCH_CPU_FALLBACK") == "1":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     backend = jax.default_backend()
+    if backend != "cpu" and os.environ.get("BENCH_CPU_FALLBACK") != "1":
+        if not _accelerator_responsive():
+            print("# accelerator unresponsive; re-running bench on CPU",
+                  file=sys.stderr)
+            env = dict(os.environ, BENCH_CPU_FALLBACK="1")
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)], env)
     mode = "matmul" if backend == "tpu" else "fft"
     cfg = SolverConfig(fft_mode=mode)
     settings = RunSettings(one_loop=True,
