@@ -71,7 +71,12 @@ class SolverConfig:
     growth_k_min: float = 1.5e-4
     growth_k_max: float = 9.0
     a_early: float = 1e-20
-    growth_rtol: float = 1e-6    # reference uses rk8pd rel 1e-6 (:173)
+    growth_rtol: float = 1e-6    # reference uses rk8pd rel 1e-6 (:173);
+    # measured: both integrators are globally ~1e-9 accurate here
+    growth_h_reset: bool = False  # True: reset h0=1e-6*a per table segment
+    # exactly like the reference's per-call gsl evolve (:179); False (default)
+    # carries the adaptive step across segments (~4x fewer steps, same
+    # trajectory to ~1e-9 at growth_rtol=1e-9)
 
     # --- beta_P clamping (reference AU_cosmological_parameters.h:536-537) ---
     beta_k_min: float = 1e-3

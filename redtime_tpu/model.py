@@ -192,21 +192,27 @@ def build_growth_tables(cfg: SolverConfig, c: CosmoParams, lin: LinearData):
                                beta_col, a, y)
 
         y0 = jnp.array([1.0, 1.0 / a_early])
-        # initial stretch a_early -> a_min; h0 = 1e-6 * a_begin per segment
+        # initial stretch a_early -> a_min; h0 = 1e-6 * a_begin
         # (reference integrate_growth :179)
-        y, _ = integrate_interval(rhs, a_early, a_min, y0, 1e-6 * a_early,
+        y, h = integrate_interval(rhs, a_early, a_min, y0, 1e-6 * a_early,
                                   0.0, rtol, DOPRI5)
         first = jnp.array([y[0] / a_min, y[1]])
 
-        def seg(y, ab):
+        def seg(carry, ab):
+            y, h = carry
             a0, a1 = ab
-            y2, _ = integrate_interval(rhs, a0, a1, y, 1e-6 * a0,
-                                       0.0, rtol, DOPRI5)
-            return y2, jnp.array([y2[0] / a1, y2[1]])
+            # reference resets h0 = 1e-6*a0 per segment (fresh gsl evolve
+            # per call); carrying the adaptive step instead saves the
+            # re-ramp (~4x fewer steps) with the same trajectory at this
+            # tolerance
+            h0 = 1e-6 * a0 if cfg.growth_h_reset else h
+            y2, h2 = integrate_interval(rhs, a0, a1, y, h0,
+                                        0.0, rtol, DOPRI5)
+            return (y2, h2), jnp.array([y2[0] / a1, y2[1]])
 
         segs = jnp.stack([jnp.asarray(a_nodes[:-1]),
                           jnp.asarray(a_nodes[1:])], axis=1)
-        _, rows = jax.lax.scan(seg, y, segs)
+        _, rows = jax.lax.scan(seg, (y, h), segs)
         return jnp.concatenate([first[None, :], rows], axis=0)  # [n_lna+1, 2]
 
     if beta_cols.shape[0] == 0:
