@@ -93,15 +93,23 @@ def build_oneloop_cache(cfg: SolverConfig, settings: RunSettings,
 
 def oneloop_rescale(cfg: SolverConfig, settings: RunSettings,
                     model: mdl.Model, cache: OneLoopCache, eta):
-    """Rescale the z1l mode coupling to eta (reference :1316-1337)."""
+    """Rescale the z1l mode coupling to eta (reference :1316-1337).
+
+    All exponents are small integers, so powers are multiply chains — f64
+    `pow` is emulated (slowly, ~1e-9 accurately) on TPU and this sits in
+    the RHS hot loop."""
     z = jnp.exp(-eta) * (1.0 + settings.z_in) - 1.0
     D, dDda = mdl.growth_D_f(model, z)
     fz = dDda / (D * (1.0 + z))
-    pre = (D / cache.D_z1l) ** 4 * jnp.exp(-4.0 * eta)   # [nk]
+    dr = D / cache.D_z1l
+    dr2 = dr * dr
+    pre = dr2 * dr2 * jnp.exp(-4.0 * eta)                # [nk]
 
-    A64 = pre * fz ** jnp.asarray(_BEF_POW)[:, None] * cache.A64
-    R = pre * fz ** jnp.asarray(_ABC_POW)[None, :, None] * cache.R
-    PT = pre * fz ** (4 - jnp.asarray(assembly.M_N))[:, None] * cache.PT
+    f2 = fz * fz
+    fpow = jnp.stack([fz, f2, f2 * fz, f2 * f2])         # fz^{1..4} [4, nk]
+    A64 = pre * fpow[jnp.asarray(_BEF_POW) - 1] * cache.A64
+    R = pre * fpow[jnp.asarray(_ABC_POW) - 1][None] * cache.R
+    PT = pre * fpow[3 - jnp.asarray(assembly.M_N)] * cache.PT
     PMR = pre * cache.PMR
     return A64, R, PT, PMR
 
