@@ -53,7 +53,7 @@ SCATTER64 = _scatter64()
 def expand64(unique: jnp.ndarray) -> jnp.ndarray:
     """[14, nk] unique components -> [64, nk] full array with symmetry
     copies (the reference's I64 / A-symmetry block)."""
-    return jnp.asarray(SCATTER64) @ unique
+    return jnp.asarray(SCATTER64, dtype=unique.dtype) @ unique
 
 
 def nAI(a, c, d, b, e, f) -> int:

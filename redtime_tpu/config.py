@@ -97,6 +97,15 @@ class SolverConfig:
 
     # --- backend ---
     fft_mode: str = "auto"       # 'auto' | 'fft' | 'matmul'
+    dtype: str = "float64"       # solver dtype: 'float64' (reference
+    # parity) or 'float32' (TPU throughput mode: native MXU speed instead
+    # of emulated f64; accuracy ~1e-3, the reference CI's own bar).
+    # Per-cosmology setup (growth/beta/norm tables) always runs in f64.
+
+    @property
+    def jdtype(self):
+        import jax.numpy as jnp
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
 
     @property
     def npts(self) -> int:

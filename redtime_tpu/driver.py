@@ -73,6 +73,9 @@ def build_output_block(cfg: SolverConfig, settings: RunSettings,
     redTime.cc:1646-1741).  z may be traced (the blocks are vmapped)."""
     g = make_grids(cfg)
     k = jnp.asarray(g.k)
+    # outputs are always assembled in f64; in float32 (throughput) mode only
+    # the time stepping runs in f32, so promote the evolved state here
+    y = y.astype(jnp.float64)
     a = 1.0 / (1.0 + z)
     r = a / settings.a_in
     r2, r3, r4 = r * r, r ** 3, r ** 4

@@ -358,7 +358,7 @@ def plin_all(cfg: SolverConfig, model: Model, z):
     beta = beta_P_solver(model, a)
     f_nu = model.f_nu
     F = 1.0 - f_nu + beta
-    k = jnp.asarray(grids.k)
+    k = jnp.asarray(grids.k, dtype=model.T_solver.dtype)
     P = model.norm * k ** c.n_s * model.T_solver ** 2 * F * F * D * D
     massless = f_nu <= 1e-10
     Pcb = jnp.where(massless, P, P / (model.f_cb + beta) ** 2)

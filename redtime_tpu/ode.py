@@ -96,17 +96,22 @@ def rk_step(rhs: Callable, t, h, y, tab: Tableau):
     compiled graph rather than s times — the RHS here can contain the whole
     FAST-PT engine, and TPU remote-compile time scales with graph size."""
     s = len(tab.c)
-    a_mat = jnp.asarray(tab.a)
+    dt_y = y.dtype
+    # time/step control stays f64; y-updates in the state dtype (an f32
+    # state must not silently promote through f64 coefficients)
+    a_mat = jnp.asarray(tab.a, dtype=dt_y)
     c_vec = jnp.asarray(tab.c)
+    hy = jnp.asarray(h, dtype=dt_y)
 
     def stage(i, ks):
-        yi = y + h * jnp.tensordot(a_mat[i], ks, axes=1)
+        yi = y + hy * jnp.tensordot(a_mat[i], ks, axes=1)
         return ks.at[i].set(rhs(t + c_vec[i] * h, yi))
 
     ks = jax.lax.fori_loop(0, s, stage,
-                           jnp.zeros((s,) + y.shape, dtype=y.dtype))
-    y_new = y + h * jnp.tensordot(jnp.asarray(tab.b), ks, axes=1)
-    yerr = h * jnp.tensordot(jnp.asarray(tab.e), ks, axes=1)
+                           jnp.zeros((s,) + y.shape, dtype=dt_y))
+    y_new = y + hy * jnp.tensordot(jnp.asarray(tab.b, dtype=dt_y), ks,
+                                   axes=1)
+    yerr = hy * jnp.tensordot(jnp.asarray(tab.e, dtype=dt_y), ks, axes=1)
     return y_new, yerr
 
 

@@ -54,11 +54,12 @@ def omega_matrix(cfg: SolverConfig, model: mdl.Model, a):
     d = bg.derived(c)
     beta = mdl.beta_P_solver(model, a)
     nk = g.nk
-    o00 = jnp.ones(nk)
-    o01 = -jnp.ones(nk)
+    dt = model.T_solver.dtype
+    o00 = jnp.ones(nk, dtype=dt)
+    o01 = -jnp.ones(nk, dtype=dt)
     o10 = -1.5 * c.Omega_m * (model.f_cb + beta) / \
         (a ** 3 * bg.H2_H02(c, a, d))
-    o11 = (3.0 + bg.dlnH_dlna(c, a, d)) * jnp.ones(nk)
+    o11 = (3.0 + bg.dlnH_dlna(c, a, d)) * jnp.ones(nk, dtype=dt)
     return jnp.stack([jnp.stack([o00, o01]), jnp.stack([o10, o11])])
 
 
@@ -85,8 +86,8 @@ def build_oneloop_cache(cfg: SolverConfig, settings: RunSettings,
     lnP3 = jnp.broadcast_to(jnp.log(Pcb), (3, g.nk))
     engine_rsd = settings.print_rsd or cfg.print_q  # Q evolution needs R
     A_u, R, PT, PMR = compute_mode_coupling_full(
-        cfg, lnP3, model.cosmo.n_s, engine_rsd, jnp.asarray(g.k),
-        mode, ec)
+        cfg, lnP3, model.cosmo.n_s, engine_rsd,
+        jnp.asarray(g.k, dtype=cfg.jdtype), mode, ec)
     D_z1l, _ = mdl.growth_D_f(model, cfg.z1l)
     return OneLoopCache(assembly.expand64(A_u), R, PT, PMR, D_z1l)
 
@@ -125,12 +126,14 @@ def make_rhs(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
     """Build the flattened-state RHS dy/deta (reference derivatives())."""
     g = make_grids(cfg)
     nk = g.nk
-    k = jnp.asarray(g.k)
+    jdt = cfg.jdtype
+    k = jnp.asarray(g.k, dtype=jdt)
     a_in = settings.a_in
     evolve_q = settings.print_rsd or cfg.print_q
     nonlinear = settings.nonlinear
 
     def rhs(eta, yflat):
+        eta = jnp.asarray(eta, dtype=jdt)   # integrator time stays f64
         y = yflat.reshape(NU_STATE, nk)
         a = a_in * jnp.exp(eta)
         O = omega_matrix(cfg, model, a)              # [2, 2, nk]
@@ -172,7 +175,7 @@ def make_rhs(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
 
         if not nonlinear:
             return jnp.concatenate(
-                [dlnP, jnp.zeros((NUI + NUQ, nk))]).reshape(-1)
+                [dlnP, jnp.zeros((NUI + NUQ, nk), dtype=jdt)]).reshape(-1)
 
         # --- dI (reference :1500-1513)
         t1 = jnp.einsum("bgk,acdgefk->acdbefk", O, Ifull)
@@ -190,7 +193,7 @@ def make_rhs(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
             dQ = (2.0 * e_eta * R.reshape(NELL, 2, 2, 2, nk)
                   - (q1 + q2 + q3)).reshape(NUQ, nk)
         else:
-            dQ = jnp.zeros((NUQ, nk))
+            dQ = jnp.zeros((NUQ, nk), dtype=jdt)
 
         return jnp.concatenate([dlnP, dI, dQ]).reshape(-1)
 
@@ -207,7 +210,8 @@ def initial_state(cfg: SolverConfig, settings: RunSettings,
     _, Pcb, _ = mdl.plin_all(cfg, model, settings.z_in)
     lnP = jnp.stack([jnp.log(Pcb), jnp.log(Pcb * f_in),
                      jnp.log(Pcb * f_in * f_in)])
-    return jnp.concatenate([lnP, jnp.zeros((NUI + NUQ, g.nk))]).reshape(-1)
+    return jnp.concatenate(
+        [lnP, jnp.zeros((NUI + NUQ, g.nk), dtype=cfg.jdtype)]).reshape(-1)
 
 
 def evolve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
@@ -222,9 +226,22 @@ def evolve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
     g = make_grids(cfg)
     cache = (build_oneloop_cache(cfg, settings, model, mode, ec)
              if settings.nonlinear and settings.one_loop else None)
-    rhs = make_rhs(cfg, settings, model, cache, mode, ec)
 
     y = initial_state(cfg, settings, model)
+    if cfg.dtype != "float64":
+        # float32 throughput mode: the cache/outputs stay f64-accurate
+        # (the FAST-PT assemblies carry strong cancellations); only the
+        # time stepping — the dominant cost — runs in f32
+        jdt = cfg.jdtype
+        cast = lambda x: (x.astype(jdt)
+                          if hasattr(x, "dtype")
+                          and jnp.issubdtype(x.dtype, jnp.floating) else x)
+        model = jax.tree_util.tree_map(cast, model)
+        cache = jax.tree_util.tree_map(cast, cache)
+        if ec is not None:
+            ec = jax.tree_util.tree_map(cast, ec)
+        y = y.astype(jdt)
+    rhs = make_rhs(cfg, settings, model, cache, mode, ec)
     eta_fin = float(np.log(1.0 / settings.a_in))
     h = 1e-2 * eta_fin
     etasteps = np.asarray(settings.etasteps())
@@ -249,7 +266,7 @@ def pbis_j(cfg: SolverConfig, ys: jnp.ndarray):
     ys: [41, nk] state at one output.  Returns [5, nk]: the (j_mu, m_b)
     combos (2,2), (2,1), (4,1), (4,0), (6,0)."""
     g = make_grids(cfg)
-    k = jnp.asarray(g.k)
+    k = jnp.asarray(g.k, dtype=ys.dtype)
     Q = ys[NUP + NUI:].reshape(NELL, 2, 2, 2, g.nk)
 
     p22 = -2.0 * Q[0, 0, 1, 0] + (4.0 / 3.0) * Q[1, 0, 1, 0]

@@ -82,3 +82,27 @@ def test_reference_ci_criterion(result):
     sel = k < 0.1
     rel = np.abs(table[6, sel, 7] / golden[6, sel, 7] - 1)
     assert np.max(rel) < 5e-5
+
+
+def test_float32_stepping_mode(example_dir, result):
+    """dtype='float32' (TPU throughput mode: f32 time stepping, f64 cache
+    and outputs) must stay within the golden noise band."""
+    from redtime_tpu import SolverConfig, run_pipeline, settings_from_params
+    from redtime_tpu.io import read_params_file
+    from redtime_tpu.io.camb import load_from_params
+
+    p = read_params_file(f"{example_dir}/params_redTime.dat")
+    lin = load_from_params(p, example_dir)
+    settings, cosmo = settings_from_params(p)
+    res = run_pipeline(SolverConfig(dtype="float32"), settings, cosmo, lin,
+                       mode="fft")
+    table = np.asarray(res.table)
+    _, golden = result
+    for c in (7, 8, 9):
+        rel = np.abs(table[:, :, c] / golden[:, :, c] - 1)
+        assert np.max(rel) < 2e-4, (c, np.max(rel))
+    for c in range(10, 17):
+        for iz in range(7):
+            err = np.max(np.abs(table[iz, :, c] - golden[iz, :, c])) / \
+                np.max(np.abs(golden[iz, :, c]))
+            assert err < 5e-4, (c, iz, err)
