@@ -82,7 +82,12 @@ def main():
             os.execve(sys.executable,
                       [sys.executable, os.path.abspath(__file__)], env)
     mode = "matmul" if backend == "tpu" else "fft"
-    cfg = SolverConfig(fft_mode=mode)
+    # TPU-native configuration: f32 time stepping (native MXU speed; f64 is
+    # emulated on TPU), f64 cache/outputs. Golden accuracy is in the same
+    # 1e-4 band either way (test_golden_e2e.py::test_float32_stepping_mode).
+    dtype = os.environ.get(
+        "BENCH_DTYPE", "float32" if backend == "tpu" else "float64")
+    cfg = SolverConfig(fft_mode=mode, dtype=dtype)
     settings = RunSettings(one_loop=True,
                            z_out=(5.0, 4.0, 3.0, 2.0, 1.0, 0.5, 0.0))
 
@@ -123,7 +128,8 @@ def main():
     per_min = BATCH / dt * 60.0
     print(json.dumps({
         "metric": f"cosmologies/min (Time-RG+TNS 1-loop, nk=128, "
-                  f"7 z-outputs, batch={BATCH}, solve on {backend})",
+                  f"7 z-outputs, batch={BATCH}, {cfg.dtype} stepping, "
+                  f"solve on {backend})",
         "value": round(per_min, 2),
         "unit": "cosmologies/min",
         "vs_baseline": round(per_min / BASELINE, 3),
