@@ -42,7 +42,7 @@ from redtime_tpu import driver, model as mdl  # noqa: E402
 from redtime_tpu.config import RunSettings, SolverConfig  # noqa: E402
 from redtime_tpu.fastpt import engine_consts  # noqa: E402
 
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 BASELINE = 100.0  # cosmologies/min target
 
 
