@@ -118,7 +118,8 @@ def rk_step(rhs: Callable, t, h, y, tab: Tableau):
 def integrate_interval(rhs: Callable, t0, t1, y0, h0,
                        eps_abs: float, eps_rel: float,
                        tab: Tableau = RKF45,
-                       max_steps: int = 1_000_000):
+                       max_steps: int = 1_000_000,
+                       return_stats: bool = False):
     """Integrate y' = rhs(t, y) from t0 to t1 (forward, t1 >= t0).
 
     Mirrors the reference's evolve loop `while ((t1 - t)*h > 0) apply(...)`
@@ -157,4 +158,6 @@ def integrate_interval(rhs: Callable, t0, t1, y0, h0,
     t0 = jnp.asarray(t0, dtype=jnp.float64)
     h0 = jnp.asarray(h0, dtype=jnp.float64)
     t, y, h, n = jax.lax.while_loop(cond, body, (t0, y0, h0, jnp.array(0)))
+    if return_stats:
+        return y, h, n     # n counts step ATTEMPTS (accepted + rejected)
     return y, h
