@@ -73,8 +73,7 @@ def load_linear_data(transfer_file: str,
         from redtime_tpu.io import native
 
         ncols = 13 if modern else 7
-        tables = native.parse_stack(list(nu_files), ncols,
-                                    max_rows=2 * MAX_BETA_ROWS)
+        tables = native.parse_stack(list(nu_files), ncols)
         first = tables[0][:MAX_BETA_ROWS]
         beta_k = first[:, I_K].copy()
         nkb = len(beta_k)

@@ -55,8 +55,15 @@ def available() -> bool:
     return _load() is not None
 
 
+def _rows_upper_bound(path: str) -> int:
+    """Upper bound on row count from the byte size (>= 8 bytes per value is
+    a safe floor for numeric text); keeps scratch buffers right-sized —
+    first-touch of oversized buffers is expensive on small hosts."""
+    return os.path.getsize(path) // 8 + 16
+
+
 def parse_table(path: str, ncols: int,
-                max_rows: int = 200000) -> np.ndarray:
+                max_rows: Optional[int] = None) -> np.ndarray:
     """Parse a '#'-commented numeric table -> [rows, ncols].  Numpy
     fallback when the native library is unavailable."""
     lib = _load()
@@ -65,6 +72,8 @@ def parse_table(path: str, ncols: int,
         if data.ndim == 1:
             data = data[None, :]
         return np.ascontiguousarray(data[:, :ncols])
+    if max_rows is None:
+        max_rows = _rows_upper_bound(path) // ncols
     out = np.empty((max_rows, ncols), dtype=np.float64)
     rows = lib.parse_table(path.encode(), ncols, out, max_rows)
     if rows < 0:
@@ -73,12 +82,14 @@ def parse_table(path: str, ncols: int,
 
 
 def parse_stack(paths: Sequence[str], ncols: int,
-                max_rows: int = 200000) -> List[np.ndarray]:
+                max_rows: Optional[int] = None) -> List[np.ndarray]:
     """Parse many identically-formatted tables (OpenMP-parallel in the
     native path)."""
     lib = _load()
     if lib is None:
         return [parse_table(p, ncols, max_rows) for p in paths]
+    if max_rows is None:
+        max_rows = max(_rows_upper_bound(p) for p in paths) // ncols
     n = len(paths)
     out = np.empty((n, max_rows, ncols), dtype=np.float64)
     rows = np.empty(n, dtype=np.int64)

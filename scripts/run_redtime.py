@@ -109,9 +109,13 @@ def run_model(args, model, z_out):
     om_c = om_m - om_b - om_nu
 
     if args.camb_exec:
-        template = os.path.join(args.template_dir,
-                                "camb_template_modern.ini"
-                                if args.modern_camb else "camb_template.ini")
+        if args.template_dir:
+            template = os.path.join(
+                args.template_dir, "camb_template_modern.ini"
+                if args.modern_camb else "camb_template.ini")
+        else:
+            template = os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "templates", "camb_modern.ini")
         ini = os.path.join(outdir, "temp_camb.ini")
         open(ini, "w").write(make_camb_ini(
             template, os.path.join(outdir, "camb"), om_b, om_c, om_nu, h,
@@ -140,8 +144,9 @@ def main(argv=None):
     ap.add_argument("--camb-exec", default=None,
                     help="CAMB binary (transfer files must already exist "
                     "in --output-dir if omitted)")
-    ap.add_argument("--template-dir",
-                    default="/root/reference/scripts")
+    ap.add_argument("--template-dir", default=None,
+                    help="directory with camb_template[_modern].ini; "
+                    "defaults to the bundled scripts/templates")
     ap.add_argument("--modern-camb", action="store_true")
     ap.add_argument("--mode", default="auto")
     args = ap.parse_args(argv)
