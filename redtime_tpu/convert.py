@@ -14,7 +14,7 @@ SURVEY section 2 as document-but-don't-port.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

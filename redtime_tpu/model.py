@@ -22,7 +22,7 @@ import numpy as np
 from redtime_tpu import background as bg
 from redtime_tpu import interp
 from redtime_tpu.config import CosmoParams, SolverConfig
-from redtime_tpu.grids import Grids, make_grids
+from redtime_tpu.grids import make_grids
 from redtime_tpu.io.camb import LinearData
 from redtime_tpu.ode import DOPRI5, integrate_interval
 
