@@ -102,6 +102,27 @@ class SolverConfig:
     # of emulated f64; accuracy ~1e-3, the reference CI's own bar).
     # Per-cosmology setup (growth/beta/norm tables) always runs in f64.
 
+    @classmethod
+    def high_accuracy(cls, **overrides) -> "SolverConfig":
+        """The reference's HIGH_ACCURACY ifdef build (redTime.cc:90-94,
+        141-142): nk=512, tight eta tolerances."""
+        kw = dict(nk=512, eabs_P=1e-15, erel_P=1e-6)
+        kw.update(overrides)
+        return cls(**kw)
+
+    @classmethod
+    def v01_compat(cls, **overrides) -> "SolverConfig":
+        """redTime v0.1-compatible settings (reference README.md:123-155):
+        nk=256, np=8nk, wide beta_P k-range, dense growth k-table,
+        a_early=1e-50, tight tolerances.  z1l stays configurable (v0.1
+        evaluated the 1-loop terms at z_in)."""
+        kw = dict(nk=256, np_factor=8, eabs_P=1e-15, erel_P=1e-6,
+                  beta_k_min=1e-5, beta_k_max=20.0,
+                  growth_n_lnk=1000, a_early=1e-50,
+                  growth_h_reset=True)
+        kw.update(overrides)
+        return cls(**kw)
+
     @property
     def jdtype(self):
         import jax.numpy as jnp

@@ -84,3 +84,30 @@ def test_linear_only_mode():
     table = _run(cfg, settings)
     # no RSD signal in linear mode
     assert np.all(table[:, :, 10:] == 0)
+
+
+def test_high_accuracy_preset_runs():
+    """nk=512 (the HIGH_ACCURACY ifdef grid) end to end on a short z list."""
+    cfg = SolverConfig.high_accuracy(**SMALL)
+    assert cfg.nk == 512 and cfg.npts == 2048
+    table = _run(cfg, RunSettings(z_out=(0.0,)))
+    assert table.shape[1] == 512
+
+
+def test_modern_13col_transfer(tmp_path):
+    """13-column (pip CAMB) transfer files parse through the same loader."""
+    import numpy as np
+    from redtime_tpu.io.camb import load_linear_data
+
+    k = np.logspace(-4, 1, 50)
+    T = 1.0 / (1.0 + k ** 2)
+    cols = [k] + [T * (1 + 0.01 * i) for i in range(12)]
+    path = tmp_path / "t13.dat"
+    np.savetxt(path, np.column_stack(cols))
+    lin = load_linear_data(str(path), [str(path)], [0.0], modern=True)
+    assert lin.t_lnk.shape == (50,)
+    assert lin.beta_raw.shape == (1, 50)
+    # columns (0-based): k=0, dc=1, db=2, dnu=5; cols[i] = T*(1+0.01*(i-1))
+    assert np.allclose(lin.t_Tc, T * 1.00)
+    assert np.allclose(lin.t_Tb, T * 1.01)
+    assert np.allclose(lin.beta_raw[0], 1.04 * np.ones_like(T))
