@@ -100,3 +100,51 @@ def test_run_redtime_derivations():
     assert d["massless_nu"] == 0.0 and d["massive_nu"] == 3.046
     d2 = derive(0.1543, 0.02323, 0.0, 0.73418)
     assert d2["massless_nu"] == 3.046 and d2["massive_nu"] == 0.0
+
+
+def test_params_roundtrip_through_orchestration(tmp_path):
+    """scripts/run_redtime.write_params emits files our reader (and the
+    reference's parser schema) consumes."""
+    import sys
+    sys.path.insert(0, "scripts")
+    from run_redtime import write_params
+    from redtime_tpu.io import read_params_file
+
+    path = tmp_path / "params_redTime_M001.dat"
+    write_params(str(path), "M001", om_m=0.1433, om_b=0.02238, s8=0.80,
+                 h=0.71, ns=0.963, w0=-1.0, wa=0.0, om_nu=0.001,
+                 z_out=["2", "1", "0"])
+    p = read_params_file(str(path))
+    assert np.isclose(p.Omega_m, 0.1433 / 0.71 ** 2)
+    assert np.isclose(p.Omega_nu, 0.001 / 0.71 ** 2)
+    assert p.z_out == [2.0, 1.0, 0.0]
+    assert p.z_in == 200
+    assert (p.switch_nonlinear, p.switch_1loop) == (1, 0)
+    assert len(p.z_interp_str) == 33
+    assert p.nu_transfer_root == "camb_transfer_z"
+
+
+def test_camb_ini_generation(tmp_path):
+    import sys
+    sys.path.insert(0, "scripts")
+    from run_redtime import make_camb_ini
+
+    tpl = ("root=CAMB_TEMPLATE_OUTROOT ob=CAMB_TEMPLATE_OMBH2 "
+           "oc=CAMB_TEMPLATE_OMCH2 on=CAMB_TEMPLATE_OMNUH2 "
+           "h0=CAMB_TEMPLATE_H0 w=CAMB_TEMPLATE_W0 wa=CAMB_TEMPLATE_WA "
+           "t=CAMB_TEMPLATE_TCMB tau=CAMB_TEMPLATE_TAU "
+           "ns=CAMB_TEMPLATE_NS ml=CAMB_TEMPLATE_MASSLESS_NU "
+           "mv=CAMB_TEMPLATE_MASSIVE_NU amp=CAMB_SCALAR_AMP")
+    tf = tmp_path / "t.ini"
+    tf.write_text(tpl)
+    out = make_camb_ini(str(tf), "/out/camb", om_b=0.0224, om_c=0.118,
+                        om_nu=0.001, h=0.7, w0=-0.9, wa=0.1, ns=0.96,
+                        scalar_amp="2.15903458773893")
+    assert "root=/out/camb" in out
+    assert "h0=7.000000e+01" in out
+    assert "ml=0 mv=3.046" in out          # massive-nu split
+    assert "amp=2.15903458773893e-9" in out
+    out2 = make_camb_ini(str(tf), "/out/camb", om_b=0.0224, om_c=0.118,
+                         om_nu=0.0, h=0.7, w0=-1.0, wa=0.0, ns=0.96,
+                         scalar_amp="2.0")
+    assert "ml=3.046 mv=0" in out2         # massless
