@@ -132,12 +132,27 @@ def build_output_block(cfg: SolverConfig, settings: RunSettings,
     return jnp.stack(cols, axis=1)
 
 
+def _check_settings(settings: RunSettings) -> None:
+    import numpy as _np
+    z = _np.asarray(settings.z_out, dtype=float)
+    if z.size == 0:
+        raise ValueError("z_out is empty")
+    if _np.any(_np.diff(z) > 0):
+        raise ValueError(
+            f"z_out must be ordered from greatest to least (reference "
+            f"params convention); got {list(settings.z_out)}")
+    if z[0] > settings.z_in:
+        raise ValueError(
+            f"first output z={z[0]} precedes z_in={settings.z_in}")
+
+
 def solve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
           mode: str = "auto", ec=None) -> RunResult:
     """Full evolution + output assembly for one prepared model.  Jittable
     with cfg/settings static; pass ec=engine_consts(cfg, mode) from outside
     jit so the engine's large static arrays are parameters, not baked
     constants (TPU compile-time critical)."""
+    _check_settings(settings)
     g = make_grids(cfg)
     ys, _ = trg.evolve(cfg, settings, model, mode, ec)
 

@@ -111,3 +111,34 @@ def test_modern_13col_transfer(tmp_path):
     assert np.allclose(lin.t_Tc, T * 1.00)
     assert np.allclose(lin.t_Tb, T * 1.01)
     assert np.allclose(lin.beta_raw[0], 1.04 * np.ones_like(T))
+
+
+def test_z_out_ordering_guard():
+    cfg = SolverConfig(nk=16, **SMALL)
+    with pytest.raises(ValueError, match="greatest to least"):
+        _run(cfg, RunSettings(z_out=(0.0, 1.0)))
+    with pytest.raises(ValueError, match="precedes z_in"):
+        _run(cfg, RunSettings(z_in=1.0, z_out=(3.0, 0.0)))
+
+
+def test_full_trg_vs_oneloop_consistency():
+    """Full-TRG and 1-loop modes are independent computations of the same
+    physics; in the weakly nonlinear regime (high z, low k) they must agree
+    at the sub-percent level.  This is the main cross-validation for
+    full-TRG mode, which has no bundled golden output."""
+    import dataclasses
+
+    cfg = SolverConfig(nk=48, **SMALL)
+    s_full = RunSettings(one_loop=False, z_out=(5.0, 0.0))
+    s_1l = RunSettings(one_loop=True, z_out=(5.0, 0.0))
+    t_full = _run(cfg, s_full)
+    t_1l = _run(cfg, s_1l)
+    # z=5, lowest third of the k grid: quasi-linear
+    lo = slice(0, 16)
+    for c in (7, 8, 9):
+        rel = np.abs(t_full[0, lo, c] / t_1l[0, lo, c] - 1)
+        assert np.max(rel) < 5e-3, (c, np.max(rel))
+    # even at z=0 the low-k spectra stay within a few percent
+    for c in (7, 8, 9):
+        rel = np.abs(t_full[1, lo, c] / t_1l[1, lo, c] - 1)
+        assert np.max(rel) < 5e-2, (c, np.max(rel))
