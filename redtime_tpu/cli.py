@@ -9,7 +9,7 @@
           (reference scripts/runRedTimeBatch:91-99).
 
 CAMB itself remains an external input generator, exactly as in the
-reference; see scripts/run_camb_pipeline.py for the two-pass sigma_8
+reference; see scripts/run_redtime.py for the two-pass sigma_8
 orchestration.
 """
 
@@ -60,7 +60,7 @@ def cmd_run(args) -> int:
     from redtime_tpu.io.writer import write_result
 
     p, lin, settings, cosmo = _load(args.params, args.modern)
-    cfg = SolverConfig(fft_mode=args.mode)
+    cfg = SolverConfig(fft_mode=args.mode, dtype=args.dtype)
 
     t0 = time.time()
     res = run_pipeline(cfg, settings, cosmo, lin, mode=args.mode)
@@ -84,7 +84,7 @@ def cmd_batch(args) -> int:
     from redtime_tpu.io.writer import write_result_to_path
     from redtime_tpu.profiling import StageTimer, device_trace
 
-    cfg = SolverConfig(fft_mode=args.mode)
+    cfg = SolverConfig(fft_mode=args.mode, dtype=args.dtype)
     timer = StageTimer(enabled=args.timing)
 
     def outname(path):
@@ -187,6 +187,10 @@ def main(argv=None) -> int:
                         help="force the CPU backend")
     common.add_argument("--modern", action="store_true",
                         help="13-column (pip CAMB) transfer files")
+    common.add_argument("--dtype", default="float64",
+                        choices=["float64", "float32"],
+                        help="solver stepping dtype (float32 = TPU "
+                        "throughput mode, ~1e-4 accuracy)")
 
     r = sub.add_parser("run", parents=[common],
                        help="solve one params_redTime.dat")

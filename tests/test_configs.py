@@ -126,8 +126,6 @@ def test_full_trg_vs_oneloop_consistency():
     physics; in the weakly nonlinear regime (high z, low k) they must agree
     at the sub-percent level.  This is the main cross-validation for
     full-TRG mode, which has no bundled golden output."""
-    import dataclasses
-
     cfg = SolverConfig(nk=48, **SMALL)
     s_full = RunSettings(one_loop=False, z_out=(5.0, 0.0))
     s_1l = RunSettings(one_loop=True, z_out=(5.0, 0.0))
