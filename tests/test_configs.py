@@ -140,3 +140,13 @@ def test_full_trg_vs_oneloop_consistency():
     for c in (7, 8, 9):
         rel = np.abs(t_full[1, lo, c] / t_1l[1, lo, c] - 1)
         assert np.max(rel) < 5e-2, (c, np.max(rel))
+
+
+def test_custom_k_range_and_z_in():
+    """Non-default k range and initial redshift (the reference hardcodes
+    kmin/kmax/z_in; here they are config)."""
+    cfg = SolverConfig(nk=24, kmin=3e-3, kmax=0.5, **SMALL)
+    settings = RunSettings(z_in=100.0, z_out=(2.0, 0.0))
+    table = _run(cfg, settings)
+    assert np.isclose(table[0, 0, 0], 3e-3)
+    assert np.isclose(table[0, -1, 0], 0.5)
