@@ -106,3 +106,36 @@ def test_float32_stepping_mode(example_dir, result):
             err = np.max(np.abs(table[iz, :, c] - golden[iz, :, c])) / \
                 np.max(np.abs(golden[iz, :, c]))
             assert err < 5e-4, (c, iz, err)
+
+
+def test_header_format_parity(example_dir, result, tmp_path):
+    """The ### header lines are part of the output contract (downstream
+    parsers strip '#'); compare ours with the golden file's token by
+    token, numbers at tolerance."""
+    from redtime_tpu import SolverConfig, run_pipeline, settings_from_params
+    from redtime_tpu.io import read_params_file
+    from redtime_tpu.io.camb import load_from_params
+    from redtime_tpu.io.writer import write_result_to_path
+
+    p = read_params_file(f"{example_dir}/params_redTime.dat")
+    lin = load_from_params(p, example_dir)
+    settings, cosmo = settings_from_params(p)
+    res = run_pipeline(SolverConfig(), settings, cosmo, lin, mode="fft")
+    out = tmp_path / "ours.dat"
+    write_result_to_path(str(out), res, "params_redTime.dat")
+
+    def headers(path):
+        return [ln.strip() for ln in open(path) if ln.startswith("#")]
+
+    ours = headers(out)
+    gold = headers(f"{example_dir}/example_redTime_result.dat")
+    assert len(ours) == len(gold)
+    for a, b in zip(ours, gold):
+        ta, tb = a.replace(",", " ").split(), b.replace(",", " ").split()
+        assert len(ta) == len(tb), (a, b)
+        for xa, xb in zip(ta, tb):
+            try:
+                va, vb = float(xa.split("=")[-1]), float(xb.split("=")[-1])
+                assert np.isclose(va, vb, rtol=1e-4), (a, b)
+            except ValueError:
+                assert xa == xb, (a, b)
