@@ -23,6 +23,23 @@ from redtime_tpu.io.params import ParamsFile
 
 prepare_model = mdl.prepare_model
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_prepare(cfg: SolverConfig, batched: bool):
+    fn = lambda c, l: mdl.prepare_model(cfg, c, l)
+    return jax.jit(jax.vmap(fn) if batched else fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_solve(cfg: SolverConfig, settings: RunSettings, mode: str,
+                  batched: bool):
+    fn = lambda m, e: solve(cfg, settings, m, mode, e)
+    if batched:
+        fn = jax.vmap(fn, in_axes=(0, None))
+    return jax.jit(fn)
+
 
 class RunResult(NamedTuple):
     """Arrays of one solver run (a pytree; batch results stack it)."""
@@ -196,14 +213,12 @@ def run_pipeline(cfg: SolverConfig, settings: RunSettings, c: CosmoParams,
     if use_jit and prepare_on_host:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            m = jax.jit(
-                lambda cc, ll: mdl.prepare_model(cfg, cc, ll))(
-                    jax.device_put(c, cpu), jax.device_put(lin, cpu))
+            m = _jitted_prepare(cfg, False)(
+                jax.device_put(c, cpu), jax.device_put(lin, cpu))
             jax.block_until_ready(m)
         m = jax.device_put(m, dev)
         ec = jax.device_put(ec, dev)
-        return jax.jit(lambda mm, e: solve(cfg, settings, mm, mode, e))(
-            m, ec)
+        return _jitted_solve(cfg, settings, mode, False)(m, ec)
 
     def go(c, lin, ec):
         m = mdl.prepare_model(cfg, c, lin)
@@ -232,20 +247,19 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
     if prepare_on_host:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            ms = jax.jit(jax.vmap(
-                lambda cc, ll: mdl.prepare_model(cfg, cc, ll)))(
-                    jax.device_put(cs, cpu), jax.device_put(lins, cpu))
+            ms = _jitted_prepare(cfg, True)(
+                jax.device_put(cs, cpu), jax.device_put(lins, cpu))
             jax.block_until_ready(ms)
-        fn = jax.vmap(lambda m, e: solve(cfg, settings, m, mode, e),
-                      in_axes=(0, None))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            fn = jax.vmap(lambda m, e: solve(cfg, settings, m, mode, e),
+                          in_axes=(0, None))
             sh = NamedSharding(mesh, P(axis))
             ms = jax.device_put(ms, sh)
             ec = jax.device_put(ec, NamedSharding(mesh, P()))
             return jax.jit(fn, out_shardings=sh)(ms, ec)
-        return jax.jit(fn)(jax.device_put(ms, dev),
-                           jax.device_put(ec, dev))
+        return _jitted_solve(cfg, settings, mode, True)(
+            jax.device_put(ms, dev), jax.device_put(ec, dev))
 
     def go(cb, lb, ec):
         m = mdl.prepare_model(cfg, cb, lb)
