@@ -29,7 +29,13 @@ def main():
     ap.add_argument("-o", "--output", default="results.dat")
     ap.add_argument("--mode", default="auto",
                     choices=["auto", "fft", "matmul"])
+    ap.add_argument("--platform", default=None, choices=[None, "cpu"],
+                    help="force the CPU backend")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     params = read_params_file(f"{args.example_dir}/params_redTime.dat")
     linear = load_from_params(params, args.example_dir)

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Compare the full pipeline against the reference's bundled golden output.
 
-Usage: python scripts/golden_check.py [--full] [--mode fft|matmul]
+Usage: python scripts/golden_check.py [--mode fft|matmul]
 """
 
 import argparse
