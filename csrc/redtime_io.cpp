@@ -22,7 +22,8 @@ extern "C" {
 
 // Parse a whitespace-separated numeric table, skipping '#' comment lines.
 // out must hold max_rows*ncols doubles.  Returns the number of complete
-// rows parsed, or -1 on IO error.
+// rows parsed, -1 on IO error, or -2 if the buffer filled up with data
+// rows still unconsumed (caller should retry with a larger buffer).
 long parse_table(const char *path, long ncols, double *out, long max_rows) {
   FILE *f = fopen(path, "rb");
   if (!f)
@@ -74,6 +75,23 @@ long parse_table(const char *path, long ncols, double *out, long max_rows) {
     p = q;
     while (p < end && *p != '\n')
       p++;
+  }
+  if (rows == max_rows) {
+    // signal truncation if any non-comment content remains
+    while (p < end) {
+      while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n'))
+        p++;
+      if (p < end && *p == '#') {
+        while (p < end && *p != '\n')
+          p++;
+        continue;
+      }
+      break;
+    }
+    if (p < end) {
+      free(buf);
+      return -2;
+    }
   }
   free(buf);
   return rows;

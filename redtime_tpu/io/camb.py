@@ -69,6 +69,13 @@ def load_linear_data(transfer_file: str,
         beta_a = np.zeros((0,))
         beta_k = np.zeros((0,))
         beta_raw = np.zeros((0, 0))
+    elif len(nu_files) < 4:
+        # the cubic a-axis interpolation needs a 4-node stencil
+        # (interp.axis_weights); the reference's production inputs use 33
+        raise ValueError(
+            f"beta_P transfer stack needs >= 4 redshift nodes for cubic "
+            f"interpolation in a; got {len(nu_files)} files.  Pass an empty "
+            f"stack for massless-neutrino runs instead.")
     else:
         from redtime_tpu.io import native
 

@@ -26,12 +26,16 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
+    # run make unconditionally: its dependency check is a no-op when the
+    # library is fresh, and it rebuilds when csrc/redtime_io.cpp changed
+    # (the .so is a build artifact, not committed to git)
+    try:
+        subprocess.run(["make", "-C", _CSRC], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass
     if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _CSRC], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            return None
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -74,11 +78,16 @@ def parse_table(path: str, ncols: int,
         return np.ascontiguousarray(data[:, :ncols])
     if max_rows is None:
         max_rows = _rows_upper_bound(path) // ncols
-    out = np.empty((max_rows, ncols), dtype=np.float64)
-    rows = lib.parse_table(path.encode(), ncols, out, max_rows)
-    if rows < 0:
-        raise IOError(f"native parse failed for {path}")
-    return out[:rows].copy()
+    max_rows = max(max_rows, 1)
+    while True:
+        out = np.empty((max_rows, ncols), dtype=np.float64)
+        rows = lib.parse_table(path.encode(), ncols, out, max_rows)
+        if rows == -2:      # buffer filled with data left over: retry bigger
+            max_rows *= 2
+            continue
+        if rows < 0:
+            raise IOError(f"native parse failed for {path}")
+        return out[:rows].copy()
 
 
 def parse_stack(paths: Sequence[str], ncols: int,
@@ -97,7 +106,10 @@ def parse_stack(paths: Sequence[str], ncols: int,
     lib.parse_stack(arr, n, ncols, out, max_rows, rows)
     result = []
     for i, p in enumerate(paths):
-        if rows[i] < 0:
+        if rows[i] == -2:   # truncated: re-parse this file with a grown buffer
+            result.append(parse_table(p, ncols, max_rows * 2))
+        elif rows[i] < 0:
             raise IOError(f"native parse failed for {p}")
-        result.append(out[i, :rows[i]].copy())
+        else:
+            result.append(out[i, :rows[i]].copy())
     return result

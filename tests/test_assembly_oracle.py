@@ -10,6 +10,7 @@ Python over index-mapping array proxies, so the exact rational coefficients
 re-transcription.  Test-only scaffolding, not ported code.
 """
 
+import ast
 import os
 import re
 
@@ -42,6 +43,30 @@ def _pyize(expr: str) -> str:
     expr = expr.replace("J[9 * 0][nloMR]", "J_lo")
     expr = expr.replace("[nshift + i]", "")
     return expr
+
+
+# The extracted text comes from UNTRUSTED reference source; eval only after
+# whitelisting the AST down to pure arithmetic (names/constants/indexing).
+_ALLOWED_NODES = (ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant,
+                  ast.Name, ast.Subscript, ast.Load,
+                  ast.Add, ast.Sub, ast.Mult, ast.Div, ast.USub, ast.UAdd)
+_ALLOWED_NAMES = {"J", "PZ", "Jn0", "J_lo", "k2", "a", "b", "c", "nk", "i"}
+
+
+def _safe_eval(expr: str, env: dict):
+    tree = ast.parse(expr.strip(), mode="eval")
+    for node in ast.walk(tree):
+        if not isinstance(node, _ALLOWED_NODES):
+            raise ValueError(
+                f"disallowed syntax {type(node).__name__!r} in oracle "
+                f"expression: {expr[:80]!r}")
+        if isinstance(node, ast.Name) and node.id not in _ALLOWED_NAMES:
+            raise ValueError(f"disallowed name {node.id!r} in oracle "
+                             f"expression: {expr[:80]!r}")
+        if isinstance(node, ast.Constant) and \
+                not isinstance(node.value, (int, float)):
+            raise ValueError(f"disallowed constant {node.value!r}")
+    return eval(compile(tree, "<oracle>", "eval"), env)
 
 
 def _extract_block(src: str, start_pat: str, end_pat: str) -> str:
@@ -78,7 +103,7 @@ def test_pmr_against_reference_expressions(random_inputs):
     env = _env(Jf, PZf, Jn0f, J_lo, k)
     oracle = np.zeros((8, len(k)))
     for ns, expr in exprs:
-        oracle[int(ns)] = eval(_pyize(expr), env)
+        oracle[int(ns)] = _safe_eval(_pyize(expr), env)
 
     _, _, _, PMR = assembly.assemble(
         jnp.asarray(Jf), jnp.asarray(PZf), jnp.asarray(Jn0f),
@@ -103,8 +128,8 @@ def test_a_slots_against_reference_expressions(random_inputs):
     pre_A = k / (4.0 * np.pi)
     slots = {}
     for m in pat.finditer(block):
-        jt = eval(_pyize(m.group(1)), env)
-        pz = eval(_pyize(m.group(2)), env)
+        jt = _safe_eval(_pyize(m.group(1)), env)
+        pz = _safe_eval(_pyize(m.group(2)), env)
         slots[int(m.group(3))] = pre_A * (jt + pz)
     assert len(slots) == 14, sorted(slots)
 
@@ -131,7 +156,7 @@ def test_pt_against_reference_expressions(random_inputs):
     oracle = np.zeros((9, len(k)))
     for ns, expr in exprs:
         e = _pyize(expr).replace("(k2 * k2)", "(k2*k2)")
-        oracle[int(ns)] = eval(e, env)
+        oracle[int(ns)] = _safe_eval(e, env)
 
     _, _, PT, _ = assembly.assemble(
         jnp.asarray(Jf), jnp.asarray(PZf), jnp.asarray(Jn0f),
@@ -165,11 +190,11 @@ def test_r_against_reference_expressions(random_inputs):
                 for c in range(2):
                     env = _env(Jf, PZf, Jn0f, J_lo, k)
                     env.update(a=a, b=b, c=c)
-                    jt = eval(_pyize(jterms[2 * ell + (0 if a == 0 else 1)]),
-                              env)
-                    pzb = eval(_pyize(
+                    jt = _safe_eval(
+                        _pyize(jterms[2 * ell + (0 if a == 0 else 1)]), env)
+                    pzb = _safe_eval(_pyize(
                         pzterms[4 * ell + (0 if b == 0 else 1)]), env)
-                    pzc = eval(_pyize(
+                    pzc = _safe_eval(_pyize(
                         pzterms[4 * ell + (2 if c == 0 else 3)]), env)
                     oracle[ell, 4 * a + 2 * b + c] = pre_R * (jt + pzb + pzc)
 
