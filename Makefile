@@ -1,0 +1,35 @@
+# CI entry point — the analog of the reference's GitHub workflow
+# (.github/workflows/build.yml:79-86: build + full 32-model batch + pytest).
+# One command a fresh checkout runs green:
+#
+#   make ci
+#
+# Stages can run individually: make native / lint / test / golden.
+
+PY ?= python
+
+.PHONY: ci native lint test golden bench clean
+
+ci: native lint test golden
+
+native:
+	$(MAKE) -C csrc
+
+lint:
+	$(PY) -m compileall -q redtime_tpu tests scripts bench.py __graft_entry__.py
+
+# full suite, including the 32-model emulator-comparison golden run
+# (tests/test_golden_32models.py) when /root/reference is present
+test:
+	$(PY) -m pytest tests/ -q
+
+# end-to-end drive vs the reference's bundled example
+golden:
+	$(PY) scripts/golden_check.py --mode fft
+
+bench:
+	$(PY) bench.py
+
+clean:
+	rm -f csrc/libredtime_io.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -7,6 +7,7 @@ scripts/runRedTimeBatch:91-99).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -27,18 +28,47 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_prepare(cfg: SolverConfig, batched: bool):
-    fn = lambda c, l: mdl.prepare_model(cfg, c, l)
+def _jitted_prepare(cfg: SolverConfig, batched: bool,
+                    with_norm: bool = False):
+    if with_norm:
+        fn = lambda c, l, n: mdl.prepare_model(cfg, c, l, norm_override=n)
+    else:
+        fn = lambda c, l: mdl.prepare_model(cfg, c, l)
     return jax.jit(jax.vmap(fn) if batched else fn)
 
 
 @functools.lru_cache(maxsize=64)
 def _jitted_solve(cfg: SolverConfig, settings: RunSettings, mode: str,
-                  batched: bool):
+                  batched: bool, mesh=None, axis: str = "batch"):
     fn = lambda m, e: solve(cfg, settings, m, mode, e)
     if batched:
         fn = jax.vmap(fn, in_axes=(0, None))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.jit(fn, out_shardings=NamedSharding(mesh, P(axis)))
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_pipeline(cfg: SolverConfig, settings: RunSettings, mode: str,
+                     batched: bool, mesh=None, axis: str = "batch",
+                     with_norm: bool = False):
+    """prepare_model + solve fused in one jitted program (the CPU /
+    single-backend path); cached so repeated calls don't retrace."""
+    def go(c, lin, ec, norm=None):
+        m = mdl.prepare_model(cfg, c, lin, norm_override=norm)
+        return solve(cfg, settings, m, mode, ec)
+
+    if not with_norm:
+        base = go
+        go = lambda c, lin, ec: base(c, lin, ec)
+    if batched:
+        in_axes = (0, 0, None, 0) if with_norm else (0, 0, None)
+        go = jax.vmap(go, in_axes=in_axes)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.jit(go, out_shardings=NamedSharding(mesh, P(axis)))
+    return jax.jit(go)
 
 
 class RunResult(NamedTuple):
@@ -195,16 +225,22 @@ def solve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
 def run_pipeline(cfg: SolverConfig, settings: RunSettings, c: CosmoParams,
                  lin: LinearData, mode: str = "auto",
                  use_jit: bool = True,
-                 prepare_on_host: bool | None = None) -> RunResult:
+                 prepare_on_host: bool | None = None,
+                 norm_override=None) -> RunResult:
     """prepare_model + solve, jitted end-to-end.
 
     On an accelerator backend the per-cosmology setup runs on the host CPU
     backend and only the solver runs on the device (the setup is
     IO-adjacent and cheap; f64 growth while_loops also fault the current
     TPU runtime), controlled by prepare_on_host (default: host when the
-    default backend is an accelerator)."""
+    default backend is an accelerator).
+
+    norm_override: P_lin normalization constant for injected-linear inputs
+    (redtime_tpu.inject) instead of the sigma_8 integral."""
     from redtime_tpu.fastpt import engine_consts
     ec = engine_consts(cfg, mode)
+    wn = norm_override is not None
+    nrm = (jnp.asarray(norm_override),) if wn else ()
 
     dev = _target_device()
     if prepare_on_host is None:
@@ -213,32 +249,92 @@ def run_pipeline(cfg: SolverConfig, settings: RunSettings, c: CosmoParams,
     if use_jit and prepare_on_host:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            m = _jitted_prepare(cfg, False)(
-                jax.device_put(c, cpu), jax.device_put(lin, cpu))
+            m = _jitted_prepare(cfg, False, wn)(
+                jax.device_put(c, cpu), jax.device_put(lin, cpu),
+                *jax.device_put(nrm, cpu))
             jax.block_until_ready(m)
         m = jax.device_put(m, dev)
         ec = jax.device_put(ec, dev)
         return _jitted_solve(cfg, settings, mode, False)(m, ec)
 
-    def go(c, lin, ec):
-        m = mdl.prepare_model(cfg, c, lin)
-        return solve(cfg, settings, m, mode, ec)
-
     if use_jit:
-        go = jax.jit(go)
-    return go(c, lin, ec)
+        return _jitted_pipeline(cfg, settings, mode, False,
+                                with_norm=wn)(c, lin, ec, *nrm)
+
+    m = mdl.prepare_model(cfg, c, lin, norm_override=norm_override)
+    return solve(cfg, settings, m, mode, ec)
+
+
+def finite_report(res: RunResult) -> np.ndarray:
+    """Indices of batch lanes with non-finite output (per-model fault
+    isolation: one diverged cosmology poisons only its own lane, unlike the
+    reference's fail-fast serial loop, runRedTimeBatch:2)."""
+    table = np.asarray(res.table)
+    if table.ndim == 3:          # unbatched result
+        table = table[None]
+    ok = np.isfinite(table).all(axis=tuple(range(1, table.ndim)))
+    return np.nonzero(~ok)[0]
+
+
+def _batch_size(tree) -> int:
+    return jax.tree_util.tree_leaves(tree)[0].shape[0]
+
+
+# One v5e chip handles batch<=32 at the flagship configuration; larger
+# batches fault the current TPU runtime (memory-adjacent).  Chunking also
+# pipelines host prepare with device solve: solves dispatch asynchronously,
+# so chunk i+1's host-side prepare overlaps chunk i's device execution.
+DEFAULT_TPU_CHUNK = 32
 
 
 def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
               lins: LinearData, mode: str = "auto",
               mesh=None, axis: str = "batch",
-              prepare_on_host: bool | None = None) -> RunResult:
+              prepare_on_host: bool | None = None,
+              max_chunk: int | None = None,
+              norm_override=None) -> RunResult:
     """Batched pipeline: vmap over stacked cosmologies, optionally sharded
     over a device mesh along the batch axis (embarrassingly parallel — the
     Time-RG math has no cross-cosmology coupling, so the only communication
-    is the output gather; SURVEY section 5.8)."""
+    is the output gather; SURVEY section 5.8).
+
+    max_chunk: split the batch into device sub-batches of at most this many
+    cosmologies (padded to equal shape so every chunk hits the same compiled
+    executable).  Defaults to 32 on accelerators, unchunked on CPU.
+    """
     from redtime_tpu.fastpt import engine_consts
+
+    n = _batch_size(cs)
+    if max_chunk is None:
+        max_chunk = int(os.environ.get("REDTIME_MAX_CHUNK",
+                                       DEFAULT_TPU_CHUNK)) \
+            if _target_device().platform != "cpu" else n
+    if mesh is not None and max_chunk % mesh.devices.size != 0:
+        max_chunk = max_chunk - (max_chunk % mesh.devices.size) \
+            or mesh.devices.size
+    if n > max_chunk:
+        outs = []
+        for i0 in range(0, n, max_chunk):
+            take = lambda x: x[i0:i0 + max_chunk]
+            ccs = jax.tree_util.tree_map(take, cs)
+            cls_ = jax.tree_util.tree_map(take, lins)
+            cnrm = (None if norm_override is None
+                    else take(jnp.asarray(norm_override)))
+            pad = max_chunk - _batch_size(ccs)
+            if pad:
+                grow = lambda x: jnp.concatenate(
+                    [x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+                ccs = jax.tree_util.tree_map(grow, ccs)
+                cls_ = jax.tree_util.tree_map(grow, cls_)
+                cnrm = None if cnrm is None else grow(cnrm)
+            outs.append(run_batch(cfg, settings, ccs, cls_, mode, mesh,
+                                  axis, prepare_on_host, max_chunk, cnrm))
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0)[:n], *outs)
+
     ec = engine_consts(cfg, mode)
+    wn = norm_override is not None
+    nrm = (jnp.asarray(norm_override),) if wn else ()
 
     dev = _target_device()
     if prepare_on_host is None:
@@ -247,25 +343,20 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
     if prepare_on_host:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            ms = _jitted_prepare(cfg, True)(
-                jax.device_put(cs, cpu), jax.device_put(lins, cpu))
+            ms = _jitted_prepare(cfg, True, wn)(
+                jax.device_put(cs, cpu), jax.device_put(lins, cpu),
+                *jax.device_put(nrm, cpu))
             jax.block_until_ready(ms)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            fn = jax.vmap(lambda m, e: solve(cfg, settings, m, mode, e),
-                          in_axes=(0, None))
             sh = NamedSharding(mesh, P(axis))
             ms = jax.device_put(ms, sh)
             ec = jax.device_put(ec, NamedSharding(mesh, P()))
-            return jax.jit(fn, out_shardings=sh)(ms, ec)
+            return _jitted_solve(cfg, settings, mode, True, mesh, axis)(
+                ms, ec)
         return _jitted_solve(cfg, settings, mode, True)(
             jax.device_put(ms, dev), jax.device_put(ec, dev))
 
-    def go(cb, lb, ec):
-        m = mdl.prepare_model(cfg, cb, lb)
-        return solve(cfg, settings, m, mode, ec)
-
-    fn = jax.vmap(go, in_axes=(0, 0, None))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(mesh, P(axis))
@@ -273,10 +364,9 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
         cs = jax.device_put(cs, sh)
         lins = jax.device_put(lins, sh)
         ec = jax.device_put(ec, rep)
-        fn = jax.jit(fn, out_shardings=sh)
-    else:
-        fn = jax.jit(fn)
-    return fn(cs, lins, ec)
+        nrm = jax.device_put(nrm, sh)
+    return _jitted_pipeline(cfg, settings, mode, True, mesh, axis,
+                            with_norm=wn)(cs, lins, ec, *nrm)
 
 
 def settings_from_params(p: ParamsFile) -> tuple[RunSettings, CosmoParams]:

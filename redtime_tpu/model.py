@@ -34,8 +34,9 @@ class Model(NamedTuple):
     # growth tables, k-axis already reduced to the solver grid
     # (reference builds (n_lna+1) x (n_lnk+1) tables, :661-724)
     g_lna: jnp.ndarray       # [n_lna+1]
-    g_G: jnp.ndarray         # [n_lna+1, nk]   G = D/a (unnormalized)
-    g_dDda: jnp.ndarray      # [n_lna+1, nk]
+    g_G: jnp.ndarray         # [n_lna+1, nk]   G = D/a (x a_early; the
+    # common scale cancels in growth_D_f's lna=0 normalization)
+    g_dDda: jnp.ndarray      # [n_lna+1, nk]   dD/da (x a_early)
     g_Dnorm: jnp.ndarray     # [nk]            G interpolated at lna=0
     # beta_P table reduced over k to the solver grid (raw delta_nu/delta_c;
     # multiply by f_nu at evaluation)
@@ -149,7 +150,16 @@ def beta_P_solver(model: Model, a):
 # growth ODE
 
 def _growth_rhs(c: CosmoParams, d, f_nu, beta_a, beta_col, a, y):
-    """d/da of (D, dD/da) (reference :133-158, F_MG = 0).
+    """d/da of the SCALED growth state (w, v) = (D a_early / a, dD/da
+    a_early); same physics as the reference's (D, dD/da) system
+    (:133-158, F_MG = 0) under a constant+1/a gauge that keeps the state
+    O(1) over the whole integration — the raw state reaches ~1/a_early
+    (1e20) by a ~ 1e-3, which crashes the TPU runtime's emulated-f64
+    while_loop.  The a_early scale cancels identically downstream (D and
+    dD/da are only consumed normalized by the table's own lna=0 row).
+
+        w' = (v - w) / a
+        v' = -F1 v + F0 (f_c + beta) a w
 
     beta_col: k-reduced beta values [nz] at this ODE's k node."""
     F0 = 1.5 * c.Omega_m / (a ** 5 * bg.H2_H02(c, a, d))
@@ -161,7 +171,8 @@ def _growth_rhs(c: CosmoParams, d, f_nu, beta_a, beta_col, a, y):
         beta = jnp.where(a < 1e-3, f_nu,
                          jnp.where(f_nu < 1e-10, 0.0, tab))
     fc = 1.0 - f_nu
-    return jnp.stack([y[1], -F1 * y[1] + F0 * (fc + beta) * y[0]])
+    return jnp.stack([(y[1] - y[0]) / a,
+                      -F1 * y[1] + F0 * (fc + beta) * a * y[0]])
 
 
 def build_growth_tables(cfg: SolverConfig, c: CosmoParams, lin: LinearData):
@@ -191,12 +202,16 @@ def build_growth_tables(cfg: SolverConfig, c: CosmoParams, lin: LinearData):
             return _growth_rhs(c, d, f_nu, jnp.asarray(lin.beta_a),
                                beta_col, a, y)
 
-        y0 = jnp.array([1.0, 1.0 / a_early])
+        # scaled state (w, v): D(a_early) = 1, dD/da(a_early) = 1/a_early
+        # (reference :697) maps to w = v = 1
+        y0 = jnp.array([1.0, 1.0])
         # initial stretch a_early -> a_min; h0 = 1e-6 * a_begin
         # (reference integrate_growth :179)
         y, h = integrate_interval(rhs, a_early, a_min, y0, 1e-6 * a_early,
                                   0.0, rtol, DOPRI5)
-        first = jnp.array([y[0] / a_min, y[1]])
+        # rows store (G, dD/da) up to the common a_early scale, which
+        # cancels in growth_D_f's normalization: w == (D/a) * a_early
+        first = y
 
         def seg(carry, ab):
             y, h = carry
@@ -208,7 +223,7 @@ def build_growth_tables(cfg: SolverConfig, c: CosmoParams, lin: LinearData):
             h0 = 1e-6 * a0 if cfg.growth_h_reset else h
             y2, h2 = integrate_interval(rhs, a0, a1, y, h0,
                                         0.0, rtol, DOPRI5)
-            return (y2, h2), jnp.array([y2[0] / a1, y2[1]])
+            return (y2, h2), y2
 
         segs = jnp.stack([jnp.asarray(a_nodes[:-1]),
                           jnp.asarray(a_nodes[1:])], axis=1)
@@ -287,8 +302,15 @@ def sigma_v2_z0(cfg: SolverConfig, c: CosmoParams, lin: LinearData,
 # model assembly and evaluation
 
 def prepare_model(cfg: SolverConfig, c: CosmoParams,
-                  lin: LinearData) -> Model:
-    """Build all per-cosmology tables.  Jittable (cfg static)."""
+                  lin: LinearData, norm_override=None) -> Model:
+    """Build all per-cosmology tables.  Jittable (cfg static).
+
+    norm_override: use this P_lin normalization constant instead of the
+    sigma_8 integral (reference :849-875).  Injected-linear mode
+    (redtime_tpu.inject) reconstructs T_cb only over the solver k-range,
+    where the sigma_8 integral's extrapolated tails would bias the
+    normalization; the exact constant is known in closed form there.
+    """
     grids = make_grids(cfg)
 
     # growth tables, reduced over k onto the solver grid
@@ -324,7 +346,10 @@ def prepare_model(cfg: SolverConfig, c: CosmoParams,
     beta_q_s8 = beta_a1_at(np.exp(nodes) / 8.0)
     beta_q_sv = beta_a1_at(np.exp(nodes))
 
-    norm = sigma8_normalization(cfg, c, lin, beta_q_s8)
+    if norm_override is None:
+        norm = sigma8_normalization(cfg, c, lin, beta_q_s8)
+    else:
+        norm = jnp.asarray(norm_override, dtype=jnp.float64)
     sv2 = sigma_v2_z0(cfg, c, lin, norm, beta_q_sv)
 
     return Model(cosmo=c, g_lna=jnp.asarray(lna_nodes), g_G=G_red,
