@@ -91,3 +91,39 @@ def dlnH_dlna(c: CosmoParams, a, d: DerivedParams | None = None):
 def Omega_m_a(c: CosmoParams, a, d: DerivedParams | None = None):
     """Time-dependent Omega_m(a) (reference :497-500)."""
     return c.Omega_m / (a ** 3 * H2_H02(c, a, d))
+
+
+# --- range-bounded forms for deep-radiation-era evaluation -----------------
+# XLA:TPU emulates f64 as an f32 pair, inheriting f32's EXPONENT range:
+# values beyond ~1e38 become inf (measured on the axon v5e: 1e80 -> inf,
+# 1e-60 -> 0).  H2_H02 contains Og/a^4, which overflows below a ~ 1e-10 —
+# the growth ODE integrates from a_early = 1e-20 (reference :696-697), so
+# its RHS must be built from a^4 H^2/H0^2, which stays in [Og, ~1] on
+# a in (0, 1.1].  Same physics as :461-485, different factorization.
+
+def a4H2_H02(c: CosmoParams, a, d: DerivedParams | None = None):
+    """s(a) = a^4 (H/H0)^2, bounded on (0, 1.1]."""
+    d = derived(c) if d is None else d
+    # f_cb Om (1+Y) a: the hot branch's Y*a is the constant Cnu*Og/(f_cb Om)
+    Ya = jnp.where(a >= d.a_nu, d.f_nu / d.f_cb * a,
+                   C_NU_HOT * d.Omega_gam / (d.f_cb * c.Omega_m))
+    cb = d.f_cb * c.Omega_m * (a + Ya)
+    # OL E_de a^4 = OL exp((1 - 3(w0+wa)) ln a - 3 wa (1-a)); the combined
+    # exponent stays mild for physical (w0, wa) even when a^{-3(1+w0+wa)}
+    # alone would overflow
+    de = d.Omega_L * jnp.exp((1.0 - 3.0 * (c.w0 + c.wa)) * jnp.log(a)
+                             - 3.0 * c.wa * (1.0 - a))
+    return cb + de + d.Omega_gam
+
+
+def dlnH_dlna_bounded(c: CosmoParams, a, d: DerivedParams | None = None):
+    """dlnH/dlna = (dln s/dlna - 4)/2 with s = a^4 H^2/H0^2; equals
+    dlnH_dlna (:480-485) but evaluates safely down to a_early."""
+    d = derived(c) if d is None else d
+    s = a4H2_H02(c, a, d)
+    dYa = jnp.where(a >= d.a_nu, d.f_nu / d.f_cb * a, 0.0)
+    dcb = d.f_cb * c.Omega_m * (a + dYa)
+    de = d.Omega_L * jnp.exp((1.0 - 3.0 * (c.w0 + c.wa)) * jnp.log(a)
+                             - 3.0 * c.wa * (1.0 - a))
+    dde = de * (1.0 - 3.0 * (c.w0 + c.wa) + 3.0 * c.wa * a)
+    return 0.5 * ((dcb + dde) / s - 4.0)

@@ -149,21 +149,26 @@ def beta_P_solver(model: Model, a):
 # ---------------------------------------------------------------------------
 # growth ODE
 
-def _growth_rhs(c: CosmoParams, d, f_nu, beta_a, beta_col, a, y):
-    """d/da of the SCALED growth state (w, v) = (D a_early / a, dD/da
-    a_early); same physics as the reference's (D, dD/da) system
-    (:133-158, F_MG = 0) under a constant+1/a gauge that keeps the state
-    O(1) over the whole integration — the raw state reaches ~1/a_early
-    (1e20) by a ~ 1e-3, which crashes the TPU runtime's emulated-f64
-    while_loop.  The a_early scale cancels identically downstream (D and
-    dD/da are only consumed normalized by the table's own lna=0 row).
+def _growth_rhs(c: CosmoParams, d, f_nu, beta_a, beta_col, x, y):
+    """d/d(ln a) of the SCALED growth state (w, v) = (D a_early / a,
+    dD/da a_early); same physics as the reference's (D, dD/da) system in a
+    (:133-158, F_MG = 0), rewritten so that BOTH the state and every RHS
+    coefficient stay inside f32's exponent range over the whole integration
+    from a_early = 1e-20.  XLA:TPU emulates f64 as an f32 pair with f32's
+    exponent range, so the raw formulation (state ~ 1/a_early, Og/a^4 ~
+    1e80) overflows to inf and crashes the TPU worker.  The a_early scale
+    cancels identically downstream (D and dD/da are only consumed
+    normalized by the table's own lna=0 row).
 
-        w' = (v - w) / a
-        v' = -F1 v + F0 (f_c + beta) a w
+        dw/dx = v - w
+        dv/dx = -(3 + dlnH/dlna) v + 1.5 Om (f_c + beta) (a / s) w,
+            x = ln a,  s = a^4 H^2/H0^2   (bounded; background.py)
 
     beta_col: k-reduced beta values [nz] at this ODE's k node."""
-    F0 = 1.5 * c.Omega_m / (a ** 5 * bg.H2_H02(c, a, d))
-    F1 = (3.0 + bg.dlnH_dlna(c, a, d)) / a
+    a = jnp.exp(x)
+    s = bg.a4H2_H02(c, a, d)
+    C0 = 1.5 * c.Omega_m * a / s
+    F1 = 3.0 + bg.dlnH_dlna_bounded(c, a, d)
     if beta_a.shape[0] == 0:
         beta = jnp.where(a < 1e-3, f_nu, 0.0)
     else:
@@ -171,8 +176,8 @@ def _growth_rhs(c: CosmoParams, d, f_nu, beta_a, beta_col, a, y):
         beta = jnp.where(a < 1e-3, f_nu,
                          jnp.where(f_nu < 1e-10, 0.0, tab))
     fc = 1.0 - f_nu
-    return jnp.stack([(y[1] - y[0]) / a,
-                      -F1 * y[1] + F0 * (fc + beta) * a * y[0]])
+    return jnp.stack([y[1] - y[0],
+                      -F1 * y[1] + C0 * (fc + beta) * y[0]])
 
 
 def build_growth_tables(cfg: SolverConfig, c: CosmoParams, lin: LinearData):
@@ -205,28 +210,29 @@ def build_growth_tables(cfg: SolverConfig, c: CosmoParams, lin: LinearData):
         # scaled state (w, v): D(a_early) = 1, dD/da(a_early) = 1/a_early
         # (reference :697) maps to w = v = 1
         y0 = jnp.array([1.0, 1.0])
-        # initial stretch a_early -> a_min; h0 = 1e-6 * a_begin
-        # (reference integrate_growth :179)
-        y, h = integrate_interval(rhs, a_early, a_min, y0, 1e-6 * a_early,
+        # initial stretch a_early -> a_min in x = ln a; the reference's
+        # h0 = 1e-6 * a_begin (integrate_growth :179) is dx = 1e-6
+        x_early, x_min = np.log(a_early), np.log(a_min)
+        y, h = integrate_interval(rhs, x_early, x_min, y0, 1e-6,
                                   0.0, rtol, DOPRI5)
         # rows store (G, dD/da) up to the common a_early scale, which
         # cancels in growth_D_f's normalization: w == (D/a) * a_early
         first = y
 
-        def seg(carry, ab):
+        def seg(carry, xx):
             y, h = carry
-            a0, a1 = ab
+            x0, x1 = xx
             # reference resets h0 = 1e-6*a0 per segment (fresh gsl evolve
             # per call); carrying the adaptive step instead saves the
             # re-ramp (~4x fewer steps) with the same trajectory at this
             # tolerance
-            h0 = 1e-6 * a0 if cfg.growth_h_reset else h
-            y2, h2 = integrate_interval(rhs, a0, a1, y, h0,
+            h0 = 1e-6 if cfg.growth_h_reset else h
+            y2, h2 = integrate_interval(rhs, x0, x1, y, h0,
                                         0.0, rtol, DOPRI5)
             return (y2, h2), y2
 
-        segs = jnp.stack([jnp.asarray(a_nodes[:-1]),
-                          jnp.asarray(a_nodes[1:])], axis=1)
+        segs = jnp.stack([jnp.asarray(lna_nodes[:-1]),
+                          jnp.asarray(lna_nodes[1:])], axis=1)
         _, rows = jax.lax.scan(seg, (y, h), segs)
         return jnp.concatenate([first[None, :], rows], axis=0)  # [n_lna+1, 2]
 

@@ -74,6 +74,69 @@ def check_model(name, cfg, mode="fft"):
     return rel.max(), np.quantile(rel, 0.95)
 
 
+def run_batched(names, cfg, mode):
+    """All models as ONE run_batch (the bench configuration): massless
+    models get dummy all-ones beta tables so the batch shares shapes."""
+    import jax.numpy as jnp
+
+    loaded = [inject.load_injected(cfg, f"{EMU}/params_redTime_{n}.dat",
+                                   f"{EMU}/redTime_{n}.dat") for n in names]
+    settings, _ = driver.settings_from_params(loaded[0][0])
+    cosmos, lins, norms = [], [], []
+    for (p, lin, norm) in loaded:
+        _, cosmo = driver.settings_from_params(p)
+        if p.Omega_nu / p.Omega_m < 1e-10:
+            z = np.asarray(p.z_interp, dtype=np.float64)
+            lin = lin._replace(beta_a=1.0 / (1.0 + z),
+                               beta_k=np.exp(lin.t_lnk),
+                               beta_raw=np.ones((len(z), len(lin.t_lnk))))
+        cosmos.append(cosmo)
+        lins.append(lin)
+        norms.append(norm)
+    stack = lambda xs: jax.tree_util.tree_map(
+        lambda *ys: jnp.stack(ys), *xs)
+    t0 = time.time()
+    res = driver.run_batch(cfg, settings, stack(cosmos), stack(lins),
+                           mode=mode, norm_override=jnp.asarray(norms))
+    res.table.block_until_ready()
+    t_compile = time.time() - t0
+    t0 = time.time()
+    res = driver.run_batch(cfg, settings, stack(cosmos), stack(lins),
+                           mode=mode, norm_override=jnp.asarray(norms))
+    res.table.block_until_ready()
+    t_warm = time.time() - t0
+    print(f"batch of {len(names)}: first {t_compile:.1f}s, "
+          f"warm {t_warm:.2f}s ({len(names) / t_warm * 60:.0f}/min)")
+
+    tables = np.asarray(res.table)
+    worst_max = worst_q95 = 0.0
+    for i, name in enumerate(names):
+        p = loaded[i][0]
+        blocks = inject.read_output_blocks(f"{EMU}/redTime_{name}.dat",
+                                           cfg.nk)
+        kphys = blocks[-1, :, 0] * p.h
+        mask = kphys < 0.1
+        f_nu = p.Omega_nu / p.Omega_m
+
+        def corr(tab):
+            pdd = tab[-1, :, 7]
+            if f_nu < 1e-10:
+                return pdd
+            b = f_nu * np.sqrt(tab[-1, :, 6] / tab[-1, :, 3])
+            return pdd * (1.0 - f_nu + b) ** 2
+
+        rel = np.abs(corr(tables[i])[mask] / corr(blocks)[mask] - 1.0)
+        tag = "massless" if f_nu < 1e-10 else "massive"
+        ok = (rel.max() < 1e-3 if f_nu < 1e-10 else
+              rel.max() < 5e-3 and np.quantile(rel, 0.95) < 1e-3)
+        if f_nu >= 1e-10:
+            worst_max = max(worst_max, rel.max())
+            worst_q95 = max(worst_q95, np.quantile(rel, 0.95))
+        print(f"{name} [{tag}] max={rel.max():.3e} "
+              f"q95={np.quantile(rel, 0.95):.3e} {'OK' if ok else 'FAIL'}")
+    print(f"massive worst: max={worst_max:.3e} q95={worst_q95:.3e}")
+
+
 def main():
     import argparse
     ap = argparse.ArgumentParser()
@@ -86,12 +149,17 @@ def main():
                     help="run the solve on the default (accelerator) device")
     ap.add_argument("--precision", default=None,
                     choices=[None, "default", "high", "highest"])
+    ap.add_argument("--batch", action="store_true",
+                    help="run all models as one vmapped run_batch")
     args = ap.parse_args()
     if args.precision:
         jax.config.update("jax_default_matmul_precision", args.precision)
     if args.tpu:
         jax.config.update("jax_default_device", jax.devices()[0])
     cfg = SolverConfig(dtype=args.dtype)
+    if args.batch:
+        run_batched(args.names, cfg, args.mode)
+        return
     worst = 0.0
     for name in args.names:
         m, _ = check_model(name, cfg, args.mode)
