@@ -61,9 +61,9 @@ def test_rsd_columns_scaled(result):
 
     The earliest blocks (z=5,4) carry tiny Q values still dominated by the
     controller's knife-edge noise; the reference's own loose-tolerance
-    trajectories deviate from a tight-tolerance solve by 1e-4..7e-4
-    (measured), so sub-4e-4 there is within the reference's equivalence
-    class."""
+    trajectories deviate from a tight-tolerance solve by 1e-4..7e-4, and
+    every column's deviation here sits BELOW that band (dev/band 0.05-0.90
+    — measured artifact: docs/PARITY_BAND.md, scripts/parity_band.py)."""
     table, golden = result
     for c in range(10, 17):
         for iz in range(7):
