@@ -97,6 +97,12 @@ class SolverConfig:
 
     # --- backend ---
     fft_mode: str = "auto"       # 'auto' | 'fft' | 'matmul'
+    engine_transform_dtype: str = "float64"  # 'float64' | 'float32':
+    # dtype of the FAST-PT DFT/Toeplitz matmuls.  'float32' runs the
+    # engine's big matmuls in true-f32 (6-pass bf16 on the MXU) under f64
+    # state/stepping — ~the TPU throughput knob for full-TRG mode, where
+    # the engine dominates the RHS.  Outputs are cast back to the state
+    # dtype before assembly.
     dtype: str = "float64"       # solver dtype: 'float64' (reference
     # parity) or 'float32' (TPU throughput mode: native MXU speed instead
     # of emulated f64; accuracy ~1e-3, the reference CI's own bar).

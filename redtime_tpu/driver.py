@@ -27,6 +27,15 @@ prepare_model = mdl.prepare_model
 import functools
 
 
+@functools.lru_cache(maxsize=16)
+def _device_ec(cfg: SolverConfig, mode: str, where):
+    """Engine-constant pack committed to a device (or sharding), cached:
+    the pack is ~85 MB of f64 DFT/Toeplitz matrices and re-transferring it
+    per sub-batch chunk dominates chunked-batch overhead."""
+    from redtime_tpu.fastpt import engine_consts
+    return jax.device_put(engine_consts(cfg, mode), where)
+
+
 @functools.lru_cache(maxsize=64)
 def _jitted_prepare(cfg: SolverConfig, batched: bool,
                     with_norm: bool = False):
@@ -237,8 +246,6 @@ def run_pipeline(cfg: SolverConfig, settings: RunSettings, c: CosmoParams,
 
     norm_override: P_lin normalization constant for injected-linear inputs
     (redtime_tpu.inject) instead of the sigma_8 integral."""
-    from redtime_tpu.fastpt import engine_consts
-    ec = engine_consts(cfg, mode)
     wn = norm_override is not None
     nrm = (jnp.asarray(norm_override),) if wn else ()
 
@@ -254,15 +261,16 @@ def run_pipeline(cfg: SolverConfig, settings: RunSettings, c: CosmoParams,
                 *jax.device_put(nrm, cpu))
             jax.block_until_ready(m)
         m = jax.device_put(m, dev)
-        ec = jax.device_put(ec, dev)
-        return _jitted_solve(cfg, settings, mode, False)(m, ec)
+        return _jitted_solve(cfg, settings, mode, False)(
+            m, _device_ec(cfg, mode, dev))
 
     if use_jit:
-        return _jitted_pipeline(cfg, settings, mode, False,
-                                with_norm=wn)(c, lin, ec, *nrm)
+        return _jitted_pipeline(cfg, settings, mode, False, with_norm=wn)(
+            c, lin, _device_ec(cfg, mode, dev), *nrm)
 
+    from redtime_tpu.fastpt import engine_consts
     m = mdl.prepare_model(cfg, c, lin, norm_override=norm_override)
-    return solve(cfg, settings, m, mode, ec)
+    return solve(cfg, settings, m, mode, engine_consts(cfg, mode))
 
 
 def finite_report(res: RunResult) -> np.ndarray:
@@ -302,8 +310,6 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
     cosmologies (padded to equal shape so every chunk hits the same compiled
     executable).  Defaults to 32 on accelerators, unchunked on CPU.
     """
-    from redtime_tpu.fastpt import engine_consts
-
     n = _batch_size(cs)
     if max_chunk is None:
         max_chunk = int(os.environ.get("REDTIME_MAX_CHUNK",
@@ -313,17 +319,24 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
         max_chunk = max_chunk - (max_chunk % mesh.devices.size) \
             or mesh.devices.size
     if n > max_chunk:
+        # slice/pad chunks HOST-SIDE: device-resident inputs would turn
+        # every slice into a remote op (the axon tunnel charges ~real
+        # latency per dispatch); inputs are host-origin file data anyway
+        tonp = lambda x: np.asarray(x)
+        cs = jax.tree_util.tree_map(tonp, cs)
+        lins = jax.tree_util.tree_map(tonp, lins)
+        nrm_np = (None if norm_override is None
+                  else np.asarray(norm_override))
         outs = []
         for i0 in range(0, n, max_chunk):
             take = lambda x: x[i0:i0 + max_chunk]
             ccs = jax.tree_util.tree_map(take, cs)
             cls_ = jax.tree_util.tree_map(take, lins)
-            cnrm = (None if norm_override is None
-                    else take(jnp.asarray(norm_override)))
+            cnrm = None if nrm_np is None else take(nrm_np)
             pad = max_chunk - _batch_size(ccs)
             if pad:
-                grow = lambda x: jnp.concatenate(
-                    [x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+                grow = lambda x: np.concatenate(
+                    [x, np.repeat(x[:1], pad, axis=0)], axis=0)
                 ccs = jax.tree_util.tree_map(grow, ccs)
                 cls_ = jax.tree_util.tree_map(grow, cls_)
                 cnrm = None if cnrm is None else grow(cnrm)
@@ -332,7 +345,6 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
         return jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0)[:n], *outs)
 
-    ec = engine_consts(cfg, mode)
     wn = norm_override is not None
     nrm = (jnp.asarray(norm_override),) if wn else ()
 
@@ -351,20 +363,21 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(mesh, P(axis))
             ms = jax.device_put(ms, sh)
-            ec = jax.device_put(ec, NamedSharding(mesh, P()))
+            ec = _device_ec(cfg, mode, NamedSharding(mesh, P()))
             return _jitted_solve(cfg, settings, mode, True, mesh, axis)(
                 ms, ec)
         return _jitted_solve(cfg, settings, mode, True)(
-            jax.device_put(ms, dev), jax.device_put(ec, dev))
+            jax.device_put(ms, dev), _device_ec(cfg, mode, dev))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(mesh, P(axis))
-        rep = NamedSharding(mesh, P())      # engine consts replicated
         cs = jax.device_put(cs, sh)
         lins = jax.device_put(lins, sh)
-        ec = jax.device_put(ec, rep)
+        ec = _device_ec(cfg, mode, NamedSharding(mesh, P()))
         nrm = jax.device_put(nrm, sh)
+    else:
+        ec = _device_ec(cfg, mode, dev)
     return _jitted_pipeline(cfg, settings, mode, True, mesh, axis,
                             with_norm=wn)(cs, lins, ec, *nrm)
 

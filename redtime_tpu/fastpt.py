@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.special import loggamma
@@ -267,21 +268,31 @@ class EngineConsts(NamedTuple):
 
 
 def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
-    """Build the engine constant pack (host -> device arrays, once)."""
+    """Build the engine constant pack (host -> device arrays, once).
+
+    With cfg.engine_transform_dtype == 'float32', the transform-path
+    arrays (DFT matrices, Toeplitz pack, gamma coefficients, windows) are
+    stored in f32: the engine then runs its matmuls in true-f32 (6-pass
+    bf16 on the MXU) regardless of the state dtype, and compute_J_PZ
+    casts its outputs back.  The Pab extension stays f64 (it feeds the
+    log-spectrum extrapolation)."""
     g = make_grids(cfg)
     co = fastpt_coeffs(cfg)
     M, v = _pab_ext(cfg)
     use_matmul = fourier._resolve(mode) == "matmul"
+    tdt = (jnp.float32 if cfg.engine_transform_dtype == "float32"
+           else jnp.float64)
+    t = lambda x: jnp.asarray(x, dtype=tdt)
     return EngineConsts(
-        ga_re=jnp.asarray(co.ga_re), ga_im=jnp.asarray(co.ga_im),
-        gb_re=jnp.asarray(co.gb_re), gb_im=jnp.asarray(co.gb_im),
-        fh_re=jnp.asarray(co.fh_re), fh_im=jnp.asarray(co.fh_im),
-        prek=jnp.asarray(co.prek), kbias=jnp.asarray(co.kbias),
-        toeplitz=jnp.asarray(co.toeplitz), pz_kfac=jnp.asarray(co.pz_kfac),
-        wp=jnp.asarray(g.wp), wc=jnp.asarray(g.wc),
+        ga_re=t(co.ga_re), ga_im=t(co.ga_im),
+        gb_re=t(co.gb_re), gb_im=t(co.gb_im),
+        fh_re=t(co.fh_re), fh_im=t(co.fh_im),
+        prek=t(co.prek), kbias=t(co.kbias),
+        toeplitz=t(co.toeplitz), pz_kfac=t(co.pz_kfac),
+        wp=jnp.asarray(g.wp), wc=t(g.wc),
         pab_M=jnp.asarray(M), pab_v=jnp.asarray(v),
-        dft_np=fourier.dft_consts(g.npts) if use_matmul else None,
-        dft_2np=fourier.dft_consts(2 * g.npts) if use_matmul else None)
+        dft_np=fourier.dft_consts(g.npts, tdt) if use_matmul else None,
+        dft_2np=fourier.dft_consts(2 * g.npts, tdt) if use_matmul else None)
 
 
 def extend_power(cfg: SolverConfig, lnP3: jnp.ndarray, n_s,
@@ -294,7 +305,8 @@ def extend_power(cfg: SolverConfig, lnP3: jnp.ndarray, n_s,
         M, v, wp = jnp.asarray(M), jnp.asarray(v), jnp.asarray(g.wp)
     else:
         M, v, wp = ec.pab_M, ec.pab_v, ec.wp
-    lnP_ext = lnP3 @ M.T + (n_s - 3.0) * v
+    with jax.default_matmul_precision("highest"):
+        lnP_ext = lnP3 @ M.T + (n_s - 3.0) * v
     return jnp.exp(lnP_ext) * wp
 
 
@@ -320,6 +332,23 @@ def compute_J_PZ(cfg: SolverConfig, P_ext: jnp.ndarray, with_rsd: bool,
         ec = engine_consts(cfg, mode)
     npts, half = g.npts, g.npts // 2
     nfam = NFAM if with_rsd else NFAM_J
+
+    # In f32 (TPU throughput) mode the DFT/Toeplitz matmuls MUST run at
+    # full f32 precision: the TPU's DEFAULT matmul precision is one bf16
+    # pass (~1e-3 relative), which lands ABOVE the eta controller's error
+    # tolerance — the stepper then rejects nearly every step (measured:
+    # 1831 attempts/segment vs 20 at proper precision).  "highest" costs
+    # 6 bf16 passes and restores f32-accurate transforms.
+    with jax.default_matmul_precision("highest"):
+        return _compute_J_PZ_body(cfg, P_ext, with_rsd, mode, ec, g, npts,
+                                  half, nfam)
+
+
+def _compute_J_PZ_body(cfg, P_ext, with_rsd, mode, ec, g, npts, half, nfam):
+    # run the transform pipeline in the engine-consts dtype (f32 when
+    # cfg.engine_transform_dtype == 'float32'); outputs cast back at exit
+    out_dt = P_ext.dtype
+    P_ext = P_ext.astype(ec.kbias.dtype)
 
     # biased, coefficient-windowed forward transform of the three spectra
     re, im = fourier.rfft(P_ext * ec.kbias, mode, ec.dft_np)
@@ -363,4 +392,4 @@ def compute_J_PZ(cfg: SolverConfig, P_ext: jnp.ndarray, with_rsd: bool,
     conv = jnp.einsum("nim,am->nai", ec.toeplitz, P_ext)
     PZ = ec.pz_kfac * conv[:, :, None, :] * P_ext[None, None]
 
-    return J, PZ
+    return J.astype(out_dt), PZ.astype(out_dt)

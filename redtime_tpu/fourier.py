@@ -67,8 +67,9 @@ class DFTConsts(NamedTuple):
     bs: jnp.ndarray
 
 
-def dft_consts(n: int) -> DFTConsts:
-    return DFTConsts(*[jnp.asarray(m) for m in _dft_matrices(n)])
+def dft_consts(n: int, dtype=None) -> DFTConsts:
+    return DFTConsts(*[jnp.asarray(m, dtype=dtype)
+                       for m in _dft_matrices(n)])
 
 
 def rfft(x: jnp.ndarray, mode: str = "auto",

@@ -37,11 +37,13 @@ def main():
     ap.add_argument("chunk", type=int)
     ap.add_argument("--on-device-prep", action="store_true")
     ap.add_argument("--dtype", default="float64")
+    ap.add_argument("--engine-dtype", default="float64")
     ap.add_argument("--one-loop", action="store_true")
     args = ap.parse_args()
 
     mode = "matmul" if jax.default_backend() == "tpu" else "fft"
-    cfg = SolverConfig(fft_mode=mode, dtype=args.dtype)
+    cfg = SolverConfig(fft_mode=mode, dtype=args.dtype,
+                       engine_transform_dtype=args.engine_dtype)
     settings = RunSettings(one_loop=args.one_loop, z_out=Z_OUT)
     lin = _example_inputs(cfg)
     cosmos = jax.tree_util.tree_map(

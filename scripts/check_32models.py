@@ -151,12 +151,14 @@ def main():
                     choices=[None, "default", "high", "highest"])
     ap.add_argument("--batch", action="store_true",
                     help="run all models as one vmapped run_batch")
+    ap.add_argument("--engine-dtype", default="float64")
     args = ap.parse_args()
     if args.precision:
         jax.config.update("jax_default_matmul_precision", args.precision)
     if args.tpu:
         jax.config.update("jax_default_device", jax.devices()[0])
-    cfg = SolverConfig(dtype=args.dtype)
+    cfg = SolverConfig(dtype=args.dtype,
+                       engine_transform_dtype=args.engine_dtype)
     if args.batch:
         run_batched(args.names, cfg, args.mode)
         return

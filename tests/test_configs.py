@@ -104,9 +104,11 @@ def test_modern_13col_transfer(tmp_path):
     cols = [k] + [T * (1 + 0.01 * i) for i in range(12)]
     path = tmp_path / "t13.dat"
     np.savetxt(path, np.column_stack(cols))
-    lin = load_linear_data(str(path), [str(path)], [0.0], modern=True)
+    # the beta stack needs >= 4 redshift nodes for cubic a-interpolation
+    lin = load_linear_data(str(path), [str(path)] * 4,
+                           [3.0, 2.0, 1.0, 0.0], modern=True)
     assert lin.t_lnk.shape == (50,)
-    assert lin.beta_raw.shape == (1, 50)
+    assert lin.beta_raw.shape == (4, 50)
     # columns (0-based): k=0, dc=1, db=2, dnu=5; cols[i] = T*(1+0.01*(i-1))
     assert np.allclose(lin.t_Tc, T * 1.00)
     assert np.allclose(lin.t_Tb, T * 1.01)
