@@ -173,6 +173,15 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_convert_full(args) -> int:
+    from redtime_tpu.convert import convert_pk_full
+
+    convert_pk_full(args.design, args.step, args.output_dir,
+                    args.pt_template, args.pm_template, args.hacc_template,
+                    models=args.models, nk_pt=args.nk, n_pm=args.n_pm)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="redtime-tpu",
@@ -222,6 +231,23 @@ def main(argv=None) -> int:
     cv.add_argument("--models-file", required=True)
     cv.add_argument("--red-dir", required=True)
     cv.set_defaults(fn=cmd_convert)
+
+    cf = sub.add_parser(
+        "convert-full",
+        help="merge PT + PM + HACC spectra (convertPkFull equivalent; "
+             "path templates take {model}/{step}/{pm})")
+    cf.add_argument("--design", required=True, help="design/models file")
+    cf.add_argument("--step", type=int, required=True)
+    cf.add_argument("--output-dir", "-o", required=True)
+    cf.add_argument("--pt-template", required=True,
+                    help="e.g. runs/redTime_M{model:03d}.dat")
+    cf.add_argument("--pm-template", required=True,
+                    help="e.g. runs/M{model:03d}/PM{pm:03d}/m.pk.{step}")
+    cf.add_argument("--hacc-template", required=True)
+    cf.add_argument("--models", type=int, nargs="*", default=None)
+    cf.add_argument("--nk", type=int, default=128)
+    cf.add_argument("--n-pm", type=int, default=16)
+    cf.set_defaults(fn=cmd_convert_full)
 
     args = ap.parse_args(argv)
     return args.fn(args)

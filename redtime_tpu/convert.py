@@ -6,9 +6,12 @@ to redshift-block indices, k is rescaled by h (1/Mpc units), P by 1/h^3
 (Mpc^3), and P_dd gets the f_cb^2 total-matter correction (convert_pt.c:
 54-56, 145-146, 158-160).
 
-The legacy `convertPkFull` merger (src/convert_pk.c) is intentionally not
-reproduced: it is a one-off with hardcoded absolute paths, documented in
-SURVEY section 2 as document-but-don't-port.
+`convert_pk_full` generalizes the legacy `convertPkFull` merger
+(src/convert_pk.c): the reference build is a one-off with hardcoded
+absolute paths and per-model column quirks; here the file locations are
+templates and the step->redshift maps are arguments, with the same math
+(f_cb^2 on PT, natural-cubic D(k)^2 growth correction on PM/HACC, h-unit
+rescalings, err = P/sqrt(counts)).
 """
 
 from __future__ import annotations
@@ -85,3 +88,136 @@ def convert_pt(n_models: int, step_no: int, nk_pt: int, params_file: str,
         with open(os.path.join(outdir,
                                f"pk_M{mn:03d}_{suffix}.dat"), "w") as f:
             f.write("".join(f"{x:f} " for x in pk))
+
+
+# ---------------------------------------------------------------------------
+# convertPkFull: PT + PM + HACC merger (reference src/convert_pk.c),
+# generalized — the reference hardcodes /Users/jkwan/... paths and
+# per-model column/redshift quirks; here paths are templates and the maps
+# are arguments.
+
+def mt_emulator_kgrid(nk: int = 3000, kmin: float = 1e-3,
+                      kmax: float = 5.0) -> np.ndarray:
+    """The Mira-Titan emulator k spacing (reference convert_pk.c:27-43):
+    50 log-spaced points on [kmin, 0.04), 150 linear on [0.04, 0.2],
+    log-spaced to kmax beyond.  nk=3000 (production) or 351 (emulator)."""
+    nk1, nk2 = 50, 200
+    k = np.empty(nk)
+    k[:nk1] = 10 ** (np.log10(kmin)
+                     + np.arange(nk1) * (np.log10(0.04) - np.log10(kmin))
+                     / nk1)
+    k[nk1:nk2] = 0.04 + np.arange(nk2 - nk1) * (0.200 - 0.04) / (nk2 - nk1 - 1)
+    k[nk2:] = 10 ** (np.log10(0.201)
+                     + np.arange(nk - nk2) * (np.log10(kmax)
+                                              - np.log10(0.201))
+                     / (nk - nk2 - 1))
+    return k
+
+
+def read_pk_file(path: str, h: float, counts_col: int = 2) -> np.ndarray:
+    """An N-body P(k) file (PM or HACC runs): '#'-header + columns
+    (k, P, counts[, ...]).  Returns [n, 3] = (k*h, P/h^3, err) with
+    err = P / sqrt(counts) (reference process_PM_runs/process_HACC_runs,
+    convert_pk.c:230-246, 336-348)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            rows.append([float(x) for x in line.split()])
+    a = np.asarray(rows)
+    k = a[:, 0] * h
+    P = a[:, 1] / h ** 3
+    err = P / np.sqrt(a[:, counts_col])
+    return np.column_stack([k, P, err])
+
+
+def process_pt_full(path: str, h: float, step_no: int, nk_pt: int = 128,
+                    step_to_z: Dict[int, int] | None = None):
+    """redTime output -> (k*h, P_dd/h^3, D, P_nu/h^3) at the step's
+    z-block (reference process_PT_runs, convert_pk.c:405-470; the
+    reference's step->z-index map varies per design generation, so it is
+    an argument; default = STEP_TO_ZBLOCK for 33-z production outputs)."""
+    table = read_redtime_table(path, nk_pt)
+    iz = (step_to_z or STEP_TO_ZBLOCK)[step_no]
+    k = table[iz, :, 0] * h
+    D = table[iz, :, 1]
+    Pnu = table[iz, :, 6] / h ** 3
+    P = table[iz, :, 7] / h ** 3
+    return k, P, D, Pnu
+
+
+def _natural_cubic(x: np.ndarray, y: np.ndarray):
+    """Natural cubic spline evaluator (== gsl_interp_cspline,
+    convert_pk.c:80-85)."""
+    from scipy.interpolate import CubicSpline
+    return CubicSpline(x, y, bc_type="natural")
+
+
+def convert_pk_full(design_file: str, step_no: int, out_dir: str,
+                    pt_template: str, pm_template: str, hacc_template: str,
+                    models: List[int] | None = None,
+                    nk_pt: int = 128, n_pm: int = 16,
+                    step_to_z: Dict[int, int] | None = None,
+                    suffix: str = "no_interp_test") -> None:
+    """Merge PT + PM + HACC spectra into per-model k/pk/err tables
+    (reference convert_pk.c main, :13-130).
+
+    Per model: PT P_dd gets the f_cb^2 total-matter correction; each PM
+    realization and the HACC spectrum get the PT growth-factor correction
+    D(k)^2 interpolated by natural cubic spline (D == 1 beyond the PT
+    range).  Output rows: one k-grid index; columns: PT, n_pm PM
+    realizations, HACC — written as k_/pk_/err_ files, the layout the
+    Mira-Titan pipeline consumed.
+
+    Templates receive (model=model number, step=step number, pm=PM run
+    number), e.g. 'runs/M{model:03d}/PM{pm:03d}/m{model:03d}.pk.{step}'.
+    """
+    design = read_models_file(design_file)
+    models = models if models is not None else list(range(1,
+                                                          len(design) + 1))
+    os.makedirs(out_dir, exist_ok=True)
+    for mn in models:
+        m = design[mn - 1]
+        h = m["h"]
+        f_cb = (m["om_m"] - m["om_nu"]) / m["om_m"]
+
+        k_pt, P_pt, D, _ = process_pt_full(
+            pt_template.format(model=mn, step=step_no), h, step_no, nk_pt,
+            step_to_z)
+        spl = _natural_cubic(k_pt, D)
+
+        def growth_corr(kq):
+            out = np.ones_like(kq)
+            sel = kq < k_pt[-1]
+            out[sel] = spl(kq[sel])
+            return out * out
+
+        pms = [read_pk_file(pm_template.format(model=mn, step=step_no,
+                                               pm=pm), h)
+               for pm in range(n_pm)]
+        hacc = read_pk_file(hacc_template.format(model=mn, step=step_no), h)
+
+        n_rows = max([len(k_pt), len(hacc)] + [len(p) for p in pms])
+
+        def pad(a, n):
+            return np.pad(a, (0, n - len(a)))
+
+        k_cols = [pad(k_pt, n_rows)]
+        pk_cols = [pad(P_pt * f_cb * f_cb, n_rows)]
+        err_cols = []
+        for p in pms:
+            g = growth_corr(p[:, 0])
+            k_cols.append(pad(p[:, 0], n_rows))
+            pk_cols.append(pad(p[:, 1] * g, n_rows))
+            err_cols.append(pad(p[:, 2] * g, n_rows))
+        g = growth_corr(hacc[:, 0])
+        k_cols.append(pad(hacc[:, 0], n_rows))
+        pk_cols.append(pad(hacc[:, 1] * g, n_rows))
+        err_cols.append(pad(hacc[:, 2] * g, n_rows))
+
+        for tag, cols in (("k", k_cols), ("pk", pk_cols),
+                          ("err", err_cols)):
+            path = os.path.join(out_dir,
+                                f"{tag}_M{mn:03d}_{suffix}.dat")
+            np.savetxt(path, np.column_stack(cols), fmt="%f")

@@ -148,3 +148,73 @@ def test_camb_ini_generation(tmp_path):
                          om_nu=0.0, h=0.7, w0=-1.0, wa=0.0, ns=0.96,
                          scalar_amp="2.0")
     assert "ml=3.046 mv=0" in out2         # massless
+
+
+def test_convert_pk_full(tmp_path):
+    """convertPkFull merger math (reference src/convert_pk.c): f_cb^2 on
+    PT, natural-cubic D(k)^2 growth correction on PM/HACC, h rescalings,
+    err = P/sqrt(counts)."""
+    import numpy as np
+    from redtime_tpu.convert import convert_pk_full, STEP_TO_ZBLOCK
+
+    nk, nz = 16, 33
+    h, om, omnu = 0.7, 0.14, 0.0014
+    f_cb = (om - omnu) / om
+    design = tmp_path / "design.dat"
+    design.write_text("#\n#\n#\n#\n#\n"
+                      f"M001 {om} 0.022 0.8 {h} 0.96 -1.0 0.0 {omnu}\n")
+
+    # synthetic redTime output: 33 z-blocks x nk rows x 17 cols
+    k = np.logspace(-3, 0, nk)
+    rng = np.random.default_rng(3)
+    table = np.zeros((nz, nk, 17))
+    table[:, :, 0] = k
+    table[:, :, 1] = 0.5 + 0.4 * rng.random((nz, nk))        # D
+    table[:, :, 6] = 10.0 * (1 + rng.random((nz, nk)))       # P_nu
+    table[:, :, 7] = 100.0 * (1 + rng.random((nz, nk)))      # P_dd
+    pt = tmp_path / "redTime_M001.dat"
+    np.savetxt(pt, table.reshape(-1, 17))
+
+    # synthetic PM (2 runs) and HACC pk files: k, P, counts
+    def pk_file(path, n, seed):
+        r = np.random.default_rng(seed)
+        kk = np.linspace(2e-3, 1.4, n)
+        P = 50.0 * (1 + r.random(n))
+        counts = 10.0 + 100.0 * r.random(n)
+        np.savetxt(path, np.column_stack([kk, P, counts]),
+                   header="k P counts")
+        return kk, P, counts
+
+    for pm in range(2):
+        pk_file(tmp_path / f"pm{pm}.dat", 12, 10 + pm)
+    kh, Ph, ch = pk_file(tmp_path / "hacc.dat", 20, 99)
+
+    step = 300
+    convert_pk_full(str(design), step, str(tmp_path / "out"),
+                    str(tmp_path / "redTime_M{model:03d}.dat"),
+                    str(tmp_path / "pm{pm}.dat"),
+                    str(tmp_path / "hacc.dat"),
+                    models=[1], nk_pt=nk, n_pm=2)
+
+    pk = np.loadtxt(tmp_path / "out" / "pk_M001_no_interp_test.dat")
+    kf = np.loadtxt(tmp_path / "out" / "k_M001_no_interp_test.dat")
+    err = np.loadtxt(tmp_path / "out" / "err_M001_no_interp_test.dat")
+    assert pk.shape == (20, 4) and kf.shape == (20, 4)
+    assert err.shape == (20, 3)
+
+    iz = STEP_TO_ZBLOCK[step]
+    # PT column: k*h, P_dd/h^3 * f_cb^2
+    # files are written '%f' (6 decimals, the reference's '%lf' too)
+    tol = dict(rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(kf[:nk, 0], k * h, **tol)
+    np.testing.assert_allclose(pk[:nk, 0],
+                               table[iz, :, 7] / h ** 3 * f_cb * f_cb,
+                               **tol)
+    # HACC column: growth-corrected with the PT D(k) spline
+    from scipy.interpolate import CubicSpline
+    spl = CubicSpline(k * h, table[iz, :, 1], bc_type="natural")
+    g = np.where(kh * h < (k * h)[-1], spl(np.minimum(kh * h, (k*h)[-1])),
+                 1.0) ** 2
+    np.testing.assert_allclose(pk[:, 3], Ph / h ** 3 * g, **tol)
+    np.testing.assert_allclose(err[:, 2],
+                               Ph / h ** 3 / np.sqrt(ch) * g, **tol)
