@@ -97,6 +97,12 @@ class SolverConfig:
 
     # --- backend ---
     fft_mode: str = "auto"       # 'auto' | 'fft' | 'matmul'
+    conv_impl: str = "fft"       # spectral-convolution implementation in
+    # matmul mode: 'fft' (three length-2np DFT matmuls — fastest on the
+    # current TPU runtime, where XLA's f64 gather AND grouped-conv paths
+    # are pathologically slow), 'gather' or 'conv' (direct O(half^2)
+    # contraction, ~50x fewer MACs; numerically identical to 1e-13 — the
+    # right choice on runtimes with healthy gather/conv lowering).
     engine_transform_dtype: str = "float64"  # 'float64' | 'float32':
     # dtype of the FAST-PT DFT/Toeplitz matmuls.  'float32' runs the
     # engine's big matmuls in true-f32 (6-pass bf16 on the MXU) under f64

@@ -292,7 +292,17 @@ def _batch_size(tree) -> int:
 # batches fault the current TPU runtime (memory-adjacent).  Chunking also
 # pipelines host prepare with device solve: solves dispatch asynchronously,
 # so chunk i+1's host-side prepare overlaps chunk i's device execution.
+# Full-TRG mode (engine inside the RHS) hits an HBM-pressure cliff well
+# below 32 (measured: chunk 8 = 156/min solve-only, 16 = 144, 32 = 68);
+# the cheap 1-loop path prefers one big dispatch.
 DEFAULT_TPU_CHUNK = 32
+DEFAULT_TPU_CHUNK_FULL = 8
+
+
+def _default_chunk(settings: RunSettings) -> int:
+    if settings.nonlinear and not settings.one_loop:
+        return DEFAULT_TPU_CHUNK_FULL
+    return DEFAULT_TPU_CHUNK
 
 
 def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
@@ -313,7 +323,7 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
     n = _batch_size(cs)
     if max_chunk is None:
         max_chunk = int(os.environ.get("REDTIME_MAX_CHUNK",
-                                       DEFAULT_TPU_CHUNK)) \
+                                       _default_chunk(settings))) \
             if _target_device().platform != "cpu" else n
     if mesh is not None and max_chunk % mesh.devices.size != 0:
         max_chunk = max_chunk - (max_chunk % mesh.devices.size) \

@@ -243,6 +243,15 @@ def _pab_ext(cfg: SolverConfig):
     return pab_extension_matrix(make_grids(cfg))
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_out_consts(n: int, dtype):
+    """Backward-DFT matrices restricted to the even sample points (the
+    reference's stride-2 read, redTime.cc:507,593): [n//2+1, n//2]."""
+    _, _, bc, bs = fourier._dft_matrices(n)
+    return (jnp.asarray(bc[:, ::2], dtype=dtype),
+            jnp.asarray(bs[:, ::2], dtype=dtype))
+
+
 class EngineConsts(NamedTuple):
     """All static engine arrays as a pytree, so driver code passes them as
     jit ARGUMENTS.  Baked-in f64 constants of this size (~85 MB: DFT
@@ -264,7 +273,8 @@ class EngineConsts(NamedTuple):
     pab_M: jnp.ndarray      # [npts, nk] Pab extension matrix (transposed use)
     pab_v: jnp.ndarray
     dft_np: object          # DFTConsts or None (fft mode)
-    dft_2np: object
+    dft_2np: object         # None in matmul mode (direct convolution)
+    dft_out: object         # (bc, bs) even-sample backward pair (matmul)
 
 
 def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
@@ -292,7 +302,9 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
         wp=jnp.asarray(g.wp), wc=t(g.wc),
         pab_M=jnp.asarray(M), pab_v=jnp.asarray(v),
         dft_np=fourier.dft_consts(g.npts, tdt) if use_matmul else None,
-        dft_2np=fourier.dft_consts(2 * g.npts, tdt) if use_matmul else None)
+        dft_2np=(fourier.dft_consts(2 * g.npts, tdt)
+                 if use_matmul and cfg.conv_impl == "fft" else None),
+        dft_out=_dft_out_consts(2 * g.npts, tdt) if use_matmul else None)
 
 
 def extend_power(cfg: SolverConfig, lnP3: jnp.ndarray, n_s,
@@ -312,6 +324,112 @@ def extend_power(cfg: SolverConfig, lnP3: jnp.ndarray, n_s,
 
 def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _target_platform() -> str:
+    """Platform computation actually lands on (honors jax_default_device,
+    which tests pin to CPU while an accelerator plugin owns the default
+    backend)."""
+    dev = jax.config.jax_default_device
+    if dev is None:
+        return jax.default_backend()
+    return dev.platform
+
+
+def _spectral_conv_direct(sa_re, sa_im, sb_re, sb_im, npts: int,
+                          impl: str = "auto"):
+    """C_h = sum_{m+n=h} Sa_m Sb_n for Hermitian spectra Sa, Sb given as
+    half-spectra [nfam, 3, half] with support < n2/2 (zero-padded linear
+    convolution) — evaluated DIRECTLY:
+
+        C_h = sum_{m=0}^{half-1} sa_m sbz_{h-m}
+            + sum_{m=1}^{half-1} conj(sa_m) sbz_{h+m},   h in [0, npts]
+
+    (sbz_j = sb_j for 0 <= j < half, conj(sb_{-j}) for j < 0, else 0.)
+    Mathematically identical to the reference's ifft-multiply-fft
+    convolution (redTime.cc:373-394) but costs O(half^2) sliding-window
+    MACs instead of three length-2np DFT matmuls — on TPU the emulated-f64
+    DFTs dominate the whole solve, and the spectra have only np/2
+    coefficients.  Two implementations of the same sum (both 1e-13-equal
+    to the FFT route): 'conv' uses one grouped conv_general_dilated (the
+    TPU-native sliding-window primitive; index gathers serialize on TPU),
+    'gather' builds the Toeplitz/Hankel blocks by static gather (fast on
+    CPU, where XLA's grouped f64 conv is pathologically slow).  Returns
+    (c_re, c_im) [nfam, 3, 3, npts + 1]: the [a x b] spectrum cross
+    products are formed here."""
+    if impl == "auto":
+        impl = "conv" if _target_platform() == "tpu" else "gather"
+    half = sa_re.shape[-1]
+    nfam = sa_re.shape[0]
+    dt = sa_re.dtype
+
+    # sbz over j in [-(half-1), npts + half - 1]: [conj tail | sb | zeros]
+    zpad = jnp.zeros(sb_re.shape[:-1] + (npts,), dt)
+    sbz_re = jnp.concatenate([sb_re[..., :0:-1], sb_re, zpad], axis=-1)
+    sbz_im = jnp.concatenate([-sb_im[..., :0:-1], sb_im, zpad], axis=-1)
+
+    if impl == "gather":
+        m = np.arange(half)[:, None]
+        h = np.arange(npts + 1)[None, :]
+        i1 = jnp.asarray(half - 1 + h - m)
+        i2 = jnp.asarray(half - 1 + h + m)
+        sa0_re = sa_re.at[..., 0].set(0.0)
+        sa0_im = sa_im.at[..., 0].set(0.0)
+
+        def dot(x, Y):
+            return jnp.einsum("fam,fbmh->fabh", x, Y)
+
+        SB1_re, SB1_im = sbz_re[..., i1], sbz_im[..., i1]
+        SB2_re, SB2_im = sbz_re[..., i2], sbz_im[..., i2]
+        c_re = (dot(sa_re, SB1_re) - dot(sa_im, SB1_im)
+                + dot(sa0_re, SB2_re) + dot(sa0_im, SB2_im))
+        c_im = (dot(sa_re, SB1_im) + dot(sa_im, SB1_re)
+                + dot(sa0_re, SB2_im) - dot(sa0_im, SB2_re))
+        return c_re, c_im
+    # Term1 window reads sbz[(h) + m'] with kernel sa reversed;
+    # Term2 window reads sbz[(half-1+h) + m] with kernel conj(sa), m>0
+    lhs1 = jnp.stack([sbz_re, sbz_im], axis=2)      # [nfam, 3b, 2, L]
+    lhs2 = lhs1[..., half - 1:]
+    L = npts + half                                  # window span needed
+    lhs1 = lhs1[..., :L]
+    lhs2 = lhs2[..., :L]
+
+    # groups = (nfam, b, sb-component); per group 3a x 2 sa-component outs
+    G = nfam * 3 * 2
+    lhs = jnp.concatenate([lhs1, lhs2], axis=0)      # [2*nfam, 3, 2, L]
+    lhs = lhs.reshape(1, 2 * G, L)
+
+    sa_rev = jnp.stack([sa_re[..., ::-1], sa_im[..., ::-1]], axis=2)
+    sa_cnj = jnp.stack([sa_re.at[..., 0].set(0.0),
+                        -sa_im.at[..., 0].set(0.0)], axis=2)
+    # kernels[f, b, sbc, a, sac, m]: independent of (b, sbc) — broadcast
+    k1 = jnp.broadcast_to(sa_rev[:, None, None],
+                          (nfam, 3, 2, 3, 2, half))
+    k2 = jnp.broadcast_to(sa_cnj[:, None, None],
+                          (nfam, 3, 2, 3, 2, half))
+    rhs = jnp.concatenate([k1, k2], axis=0)          # [2nfam,3,2,3,2,half]
+    rhs = rhs.reshape(2 * G * 6, 1, half)
+
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=2 * G)                   # [1, 2G*6, npts+1]
+    out = out.reshape(2, nfam, 3, 2, 3, 2, npts + 1)
+    t1, t2 = out[0], out[1]                          # [f, b, sbc, a, sac, h]
+
+    def comb(t):
+        rr, ri = t[:, :, 0, :, 0], t[:, :, 0, :, 1]
+        ir, ii = t[:, :, 1, :, 0], t[:, :, 1, :, 1]
+        return rr, ri, ir, ii
+
+    rr1, ri1, ir1, ii1 = comb(t1)
+    rr2, ri2, ir2, ii2 = comb(t2)
+    # Term1: sa * sbz;  Term2: conj(sa) * sbz  (kernel already sign-fixed
+    # on the im part, so Term2 combines like a plain product)
+    c_re = (rr1 - ii1) + (rr2 - ii2)
+    c_im = (ri1 + ir1) + (ri2 + ir2)
+    # axes currently [f, b, a, h] -> [f, a, b, h]
+    return (jnp.swapaxes(c_re, 1, 2), jnp.swapaxes(c_im, 1, 2))
 
 
 def compute_J_PZ(cfg: SolverConfig, P_ext: jnp.ndarray, with_rsd: bool,
@@ -349,20 +467,18 @@ def _compute_J_PZ_body(cfg, P_ext, with_rsd, mode, ec, g, npts, half, nfam):
     # cfg.engine_transform_dtype == 'float32'); outputs cast back at exit
     out_dt = P_ext.dtype
     P_ext = P_ext.astype(ec.kbias.dtype)
+    use_matmul = fourier._resolve(mode) == "matmul"
+    use_direct = use_matmul and cfg.conv_impl != "fft"
 
     # biased, coefficient-windowed forward transform of the three spectra
     re, im = fourier.rfft(P_ext * ec.kbias, mode, ec.dft_np)
     re, im = re * ec.wc, im * ec.wc
     ca_re, ca_im = re[:, :half], im[:, :half]       # freqs [0, np/2)
 
-    # per-family coefficient products, embedded in a length-(2np)
-    # half-spectrum (zero-padded: linear convolution)
+    # per-family coefficient products [nfam, 3, half]
     def coeff_spectra(gr, gi):
-        sr, si = _cmul(ca_re[None], ca_im[None],
-                       gr[:nfam, None], gi[:nfam, None])   # [nfam, 3, half]
-        pad = jnp.zeros(sr.shape[:-1] + (npts + 1 - half,), sr.dtype)
-        return (jnp.concatenate([sr, pad], -1),
-                jnp.concatenate([si, pad], -1))
+        return _cmul(ca_re[None], ca_im[None],
+                     gr[:nfam, None], gi[:nfam, None])
 
     sa_re, sa_im = coeff_spectra(ec.ga_re, ec.ga_im)
     sb_re, sb_im = coeff_spectra(ec.gb_re, ec.gb_im)
@@ -370,18 +486,34 @@ def _compute_J_PZ_body(cfg, P_ext, with_rsd, mode, ec, g, npts, half, nfam):
     # spectral convolution C_h = sum_{m+n=h} (c g^a)_m (c g^b)_n over all
     # 3x3 spectrum pairs (reference iconvolve/cconvolve step)
     n2 = 2 * npts
-    ta = fourier.hc_backward(sa_re, sa_im, n2, mode, ec.dft_2np)
-    tb = fourier.hc_backward(sb_re, sb_im, n2, mode, ec.dft_2np)
-    prod = ta[:, :, None, :] * tb[:, None, :, :] / n2  # [nfam, 3, 3, 2np]
-    c_re, c_im = fourier.rfft(prod, mode, ec.dft_2np)  # [nfam, 3, 3, np+1]
+    if use_direct:
+        # direct O(half^2) contraction — identical math, no length-2np
+        # DFTs (those dominate the TPU solve in emulated f64)
+        c_re, c_im = _spectral_conv_direct(sa_re, sa_im, sb_re, sb_im,
+                                           npts, cfg.conv_impl)
+    else:
+        pad = jnp.zeros(sa_re.shape[:-1] + (npts + 1 - half,), sa_re.dtype)
+        padc = lambda x: jnp.concatenate([x, pad], -1)
+        ta = fourier.hc_backward(padc(sa_re), padc(sa_im), n2, mode,
+                                 ec.dft_2np)
+        tb = fourier.hc_backward(padc(sb_re), padc(sb_im), n2, mode,
+                                 ec.dft_2np)
+        prod = ta[:, :, None, :] * tb[:, None, :, :] / n2  # [nf,3,3,2np]
+        c_re, c_im = fourier.rfft(prod, mode, ec.dft_2np)  # [nf,3,3,np+1]
 
     # multiply by f (and tau phase, baked into fh), back-transform, sample
     # the even points (the reference's stride-2 read, redTime.cc:507,593)
     cf_re, cf_im = _cmul(c_re, c_im,
                          ec.fh_re[:nfam, None, None],
                          ec.fh_im[:nfam, None, None])
-    t = fourier.hc_backward(cf_re, cf_im, n2, mode, ec.dft_2np)
-    J = t[..., ::2] * ec.prek[:nfam, None, None, :]
+    if use_matmul:
+        # backward transform evaluated only at the even sample points:
+        # dft_out = (bc[:, ::2], bs[:, ::2]) of the length-2np matrices
+        t = cf_re @ ec.dft_out[0] + cf_im @ ec.dft_out[1]
+    else:
+        t = fourier.hc_backward(cf_re, cf_im, n2, mode,
+                                ec.dft_2np)[..., ::2]
+    J = t * ec.prek[:nfam, None, None, :]
 
     if not with_rsd:
         J = jnp.concatenate(
