@@ -61,6 +61,87 @@ def nAI(a, c, d, b, e, f) -> int:
     return 32 * a + 16 * c + 8 * d + 4 * b + 2 * e + f
 
 
+def _omega_contraction_mats():
+    """Static one-hot matrices expressing the RHS Omega contractions as
+    flat [rows, nk] matmuls (reference :1449-1539).
+
+    On TPU, einsums over the six length-2 component axes of
+    I_{acd,bef} lower to pathological tiny-tile code (~13.7 ms/eval vs
+    0.55 ms for this formulation — see docs/TPU_NOTES.md).  The algebra
+    is identical: for each contracted position p and summand g,
+        t_p[r] = O[i_p(r), g] * I[sigma_p(r, g)],
+    with the row maps folded into one-hot matrices.  Everything is
+    restricted to the 14 unique I rows (JU) and composed with the
+    symmetry scatter, so the RHS never materializes the 64-slot array.
+
+    Returns (PI [84, 14], QI [84, 4], TR14 [4, 14], PQ [144, 24],
+    QQ [144, 4]); the leading axis stacks the 6 (position, g) summands.
+    """
+    def comp(r):
+        return ((r >> 5) & 1, (r >> 4) & 1, (r >> 3) & 1,
+                (r >> 2) & 1, (r >> 1) & 1, r & 1)
+
+    jusel = np.zeros((14, 64))
+    for j, s in enumerate(JU):
+        jusel[j, s] = 1.0
+
+    pi_blocks, qi_blocks = [], []
+    for pos in (3, 4, 5):           # b, e, f of A/I_{acd,bef}
+        for g in (0, 1):
+            P = np.zeros((64, 64))
+            Qo = np.zeros((64, 4))
+            for r in range(64):
+                idx = list(comp(r))
+                i_orig = idx[pos]
+                idx[pos] = g
+                P[r, nAI(*idx)] = 1.0
+                Qo[r, 2 * i_orig + g] = 1.0
+            pi_blocks.append(jusel @ P @ SCATTER64)     # [14, 14]
+            qi_blocks.append(jusel @ Qo)                # [14, 4]
+    PI = np.concatenate(pi_blocks)                      # [84, 14]
+    QI = np.concatenate(qi_blocks)                      # [84, 4]
+
+    # I-coupling trace for dP: Isum[p,q] = sum_{c,d} I_{pcd,qcd}
+    TR = np.zeros((4, 64))
+    for p in range(2):
+        for q in range(2):
+            for c in range(2):
+                for d in range(2):
+                    TR[2 * p + q, nAI(p, c, d, q, c, d)] += 1.0
+    TR14 = TR @ SCATTER64                               # [4, 14]
+
+    # Q^ell_{abc} contractions over a, b, c; block-diagonal over ell
+    pq_blocks, qq_blocks = [], []
+    for pos in range(3):
+        for g in (0, 1):
+            P = np.zeros((8, 8))
+            Qo = np.zeros((8, 4))
+            for r in range(8):
+                idx = [(r >> 2) & 1, (r >> 1) & 1, r & 1]
+                i_orig = idx[pos]
+                idx[pos] = g
+                P[r, 4 * idx[0] + 2 * idx[1] + idx[2]] = 1.0
+                Qo[r, 2 * i_orig + g] = 1.0
+            pq_blocks.append(np.kron(np.eye(3), P))     # [24, 24]
+            qq_blocks.append(np.kron(np.ones((3, 1)), Qo))  # [24, 4]
+    PQ = np.concatenate(pq_blocks)                      # [144, 24]
+    QQ = np.concatenate(qq_blocks)                      # [144, 4]
+    return PI, QI, TR14, PQ, QQ
+
+
+OMEGA_MATS = _omega_contraction_mats()
+
+
+def _uniq_sel() -> np.ndarray:
+    S = np.zeros((14, 64))
+    for j, s in enumerate(JU):
+        S[j, s] = 1.0
+    return S
+
+
+UNIQ_SEL = _uniq_sel()
+
+
 def assemble(Jf, PZf, Jn0f, J_lo, k, with_rsd: bool):
     """Assemble A/R/PT/PMR on the solver grid.
 

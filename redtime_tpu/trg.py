@@ -143,17 +143,24 @@ def make_rhs(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
         P = jnp.exp(lnP)                             # P00, P01, P11
 
         if nonlinear:
+            # Omega contractions as stacked one-hot matmuls on flat
+            # [rows, nk] arrays: the six-axis [2,...,2,nk] einsum
+            # formulation lowers to tiny-tile code on TPU and costs ~25x
+            # more (docs/TPU_NOTES.md); the matrices fold in the
+            # symmetry scatter and the unique-row selection, so the
+            # 64-slot array is never materialized.
+            PI, QI, TR14, PQm, QQm = (
+                jnp.asarray(m, dtype=jdt) for m in assembly.OMEGA_MATS)
+            I14 = y[NUP:NUP + NUI]
             if settings.one_loop:
                 A64, R, _, _ = oneloop_rescale(cfg, settings, model, cache,
                                                eta)
+                A_u = jnp.asarray(assembly.UNIQ_SEL, dtype=jdt) @ A64
             else:
                 A_u, R, _, _ = compute_mode_coupling_full(
                     cfg, lnP, model.cosmo.n_s, evolve_q, k, mode,
                     ec)
-                A64 = assembly.expand64(A_u)
-            Ifull = assembly.expand64(y[NUP:NUP + NUI]).reshape(
-                2, 2, 2, 2, 2, 2, nk)
-            A6 = A64.reshape(2, 2, 2, 2, 2, 2, nk)
+            Of = O.reshape(4, nk)                    # rows: O[i, g] at 2i+g
 
         # --- d ln P (reference :1449-1491)
         # dP_ab = -Omega_ac P_cb - Omega_bc P_ac  (P indexed P[0]=P00,
@@ -164,7 +171,7 @@ def make_rhs(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
         dP2 = -2.0 * (O[1, 0] * P[1] + O[1, 1] * P[2])
         if nonlinear:
             # I-coupling: sum_{c,d} I_{acd,bcd} + I_{bcd,acd}
-            Isum = jnp.einsum("pcdqcdk->pqk", Ifull)
+            Isum = (TR14 @ I14).reshape(2, 2, nk)
             coef = e_eta * 4.0 * np.pi / k
             dP0 = dP0 + coef * (Isum[0, 0] + Isum[0, 0])
             dP1 = dP1 + coef * (Isum[1, 0] + Isum[0, 1])
@@ -177,21 +184,16 @@ def make_rhs(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
             return jnp.concatenate(
                 [dlnP, jnp.zeros((NUI + NUQ, nk), dtype=jdt)]).reshape(-1)
 
-        # --- dI (reference :1500-1513)
-        t1 = jnp.einsum("bgk,acdgefk->acdbefk", O, Ifull)
-        t2 = jnp.einsum("egk,acdbgfk->acdbefk", O, Ifull)
-        t3 = jnp.einsum("fgk,acdbegk->acdbefk", O, Ifull)
-        dI_full = 2.0 * e_eta * A6 - (t1 + t2 + t3)
-        dI = dI_full.reshape(64, nk)[jnp.asarray(assembly.JU)]
+        # --- dI (reference :1500-1513): the three Omega x I index
+        # contractions, restricted to the 14 unique rows
+        t = ((QI @ Of) * (PI @ I14)).reshape(6, NUI, nk).sum(axis=0)
+        dI = 2.0 * e_eta * A_u - t
 
         # --- dQ (reference :1516-1539)
         if evolve_q:
-            Q = y[NUP + NUI:].reshape(NELL, 2, 2, 2, nk)
-            q1 = jnp.einsum("adk,ldbck->labck", O, Q)
-            q2 = jnp.einsum("bdk,ladck->labck", O, Q)
-            q3 = jnp.einsum("cdk,labdk->labck", O, Q)
-            dQ = (2.0 * e_eta * R.reshape(NELL, 2, 2, 2, nk)
-                  - (q1 + q2 + q3)).reshape(NUQ, nk)
+            Q24 = y[NUP + NUI:]
+            qt = ((QQm @ Of) * (PQm @ Q24)).reshape(6, NUQ, nk).sum(axis=0)
+            dQ = 2.0 * e_eta * R.reshape(NUQ, nk) - qt
         else:
             dQ = jnp.zeros((NUQ, nk), dtype=jdt)
 
