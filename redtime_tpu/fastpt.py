@@ -252,6 +252,58 @@ def _dft_out_consts(n: int, dtype):
             jnp.asarray(bs[:, ::2], dtype=dtype))
 
 
+def _out_columns(g) -> np.ndarray:
+    """Extended-grid columns the assembly actually reads: the solver
+    window [nshift, nshift+nk) plus the PMR low-k index (reference
+    :1252)."""
+    nlo = g.nshift - g.nk // 2
+    return np.concatenate([np.arange(g.nshift, g.nshift + g.nk), [nlo]])
+
+
+@functools.lru_cache(maxsize=8)
+def _restricted_out_consts(cfg: SolverConfig):
+    """Output-leg matrices restricted to the _out_columns.
+
+    The J pipeline's tail is rfft(prod) -> complex fh multiply ->
+    even-sample backward DFT read at the solver window.  Keeping the
+    per-family fh multiply elementwise, the two transforms are SHARED
+    flat dots:  c = prod @ [FC | -FS], then t = [cf_re | cf_im] @
+    [Bc_o ; Bs_o] with the backward matrices' columns restricted to the
+    nk+1 read positions (~4x fewer MACs than the full-grid backward, and
+    no batched-dim dot).  Returns numpy f64 (fwd [2np, 2(np+1)],
+    bwd [2(np+1), nk+1])."""
+    g = make_grids(cfg)
+    n2 = 2 * g.npts
+    fc, fs, bc, bs = fourier._dft_matrices(n2)
+    cols = _out_columns(g)
+    fwd = np.concatenate([fc, -fs], axis=1)        # [2np, 2(np+1)]
+    bwd = np.concatenate([bc[:, ::2][:, cols],
+                          bs[:, ::2][:, cols]], axis=0)
+    return fwd, bwd
+
+
+@functools.lru_cache(maxsize=8)
+def _half_leg_consts(cfg: SolverConfig):
+    """Single-dot matrices for the windowed path's forward and
+    convolution-backward legs.
+
+    Forward: rfft(x)[:half] with the WC coefficient window applied is
+    x @ [fc[:, :half].wc | -fs[:, :half].wc]  (re and im stacked on
+    columns).  Backward: the coefficient half-spectra are zero above
+    `half`, so the unnormalized length-2np backward transform is
+    [re | im] @ [bc[:half] ; bs[:half]] — the zero rows and the (always
+    zero) Nyquist row of the generic hc_backward drop out.  Numpy f64;
+    returns (fwd [np, 2*half], bwd [2*half, 2np])."""
+    g = make_grids(cfg)
+    half = g.npts // 2
+    fc, fs, _, _ = fourier._dft_matrices(g.npts)
+    wc = g.wc[:half]
+    fwd = np.concatenate([fc[:, :half] * wc, -fs[:, :half] * wc], axis=1)
+    _, _, bc2, bs2 = fourier._dft_matrices(2 * g.npts)
+    bwd = np.concatenate([bc2[:half], bs2[:half]], axis=0)
+    return fwd, bwd
+
+
 class EngineConsts(NamedTuple):
     """All static engine arrays as a pytree, so driver code passes them as
     jit ARGUMENTS.  Baked-in f64 constants of this size (~85 MB: DFT
@@ -275,6 +327,23 @@ class EngineConsts(NamedTuple):
     dft_np: object          # DFTConsts or None (fft mode)
     dft_2np: object         # None in matmul mode (direct convolution)
     dft_out: object         # (bc, bs) even-sample backward pair (matmul)
+    # solver-window-restricted output transform (matmul mode): a SHARED
+    # forward pair [FC | -FS] and a SHARED even-sample backward pair
+    # [Bc_o ; Bs_o] restricted to the solver window plus the PMR low-k
+    # point; the per-family f/tau phase stays an elementwise multiply
+    # between the two flat dots (batched-dim f64 dots run ~8x slower per
+    # MAC than flat dots on this runtime — docs/TPU_NOTES.md)
+    dft_conv_fwd: object = None   # [2np, 2(np+1)] = [FC | -FS]
+    dft_bwd_out: object = None    # [2(np+1), nk+1] = [Bc_o ; Bs_o]
+    prek_out: object = None       # [NFAM, nk+1] prek at the window columns
+    toeplitz_sl: object = None    # [7, nk, np] Toeplitz rows in the window
+    pz_kfac_sl: object = None     # [nk]
+    # single-dot convolution legs (windowed path): forward matrix with the
+    # coefficient window folded in and re|im stacked on columns, and the
+    # length-2np backward matrix restricted to the half nonzero freqs with
+    # re|im stacked on rows
+    dft_fwd_half: object = None   # [np, 2*half] = [fc.wc | -fs.wc]
+    dft_bwd_half: object = None   # [2*half, 2np] = [bc[:half]; bs[:half]]
 
 
 def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
@@ -304,7 +373,20 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
         dft_np=fourier.dft_consts(g.npts, tdt) if use_matmul else None,
         dft_2np=(fourier.dft_consts(2 * g.npts, tdt)
                  if use_matmul and cfg.conv_impl == "fft" else None),
-        dft_out=_dft_out_consts(2 * g.npts, tdt) if use_matmul else None)
+        dft_out=_dft_out_consts(2 * g.npts, tdt) if use_matmul else None,
+        dft_conv_fwd=(t(_restricted_out_consts(cfg)[0])
+                      if use_matmul and cfg.conv_impl == "fft" else None),
+        dft_bwd_out=(t(_restricted_out_consts(cfg)[1])
+                     if use_matmul and cfg.conv_impl == "fft" else None),
+        dft_fwd_half=(t(_half_leg_consts(cfg)[0])
+                      if use_matmul and cfg.conv_impl == "fft" else None),
+        dft_bwd_half=(t(_half_leg_consts(cfg)[1])
+                      if use_matmul and cfg.conv_impl == "fft" else None),
+        prek_out=(t(co.prek[:, _out_columns(g)]) if use_matmul else None),
+        toeplitz_sl=(t(co.toeplitz[:, g.nshift:g.nshift + g.nk, :])
+                     if use_matmul else None),
+        pz_kfac_sl=(t(co.pz_kfac[g.nshift:g.nshift + g.nk])
+                    if use_matmul else None))
 
 
 def extend_power(cfg: SolverConfig, lnP3: jnp.ndarray, n_s,
@@ -462,6 +544,35 @@ def compute_J_PZ(cfg: SolverConfig, P_ext: jnp.ndarray, with_rsd: bool,
                                   half, nfam)
 
 
+def _coeff_spectra_pair(P_ext, nfam, mode, ec, half):
+    """Forward transform + per-family gamma-coefficient products:
+    returns (sa_re, sa_im, sb_re, sb_im), each [nfam, 3, half]."""
+    re, im = fourier.rfft(P_ext * ec.kbias, mode, ec.dft_np)
+    re, im = re * ec.wc, im * ec.wc
+    ca_re, ca_im = re[:, :half], im[:, :half]       # freqs [0, np/2)
+
+    def coeff_spectra(gr, gi):
+        return _cmul(ca_re[None], ca_im[None],
+                     gr[:nfam, None], gi[:nfam, None])
+
+    sa_re, sa_im = coeff_spectra(ec.ga_re, ec.ga_im)
+    sb_re, sb_im = coeff_spectra(ec.gb_re, ec.gb_im)
+    return sa_re, sa_im, sb_re, sb_im
+
+
+def _conv_prod(sa_re, sa_im, sb_re, sb_im, npts, mode, ec):
+    """Pair products in sequence space: [nfam, 3, 3, 2np]."""
+    n2 = 2 * npts
+    half = sa_re.shape[-1]
+    pad = jnp.zeros(sa_re.shape[:-1] + (npts + 1 - half,), sa_re.dtype)
+    padc = lambda x: jnp.concatenate([x, pad], -1)
+    ta = fourier.hc_backward(padc(sa_re), padc(sa_im), n2, mode,
+                             ec.dft_2np)
+    tb = fourier.hc_backward(padc(sb_re), padc(sb_im), n2, mode,
+                             ec.dft_2np)
+    return ta[:, :, None, :] * tb[:, None, :, :] / n2
+
+
 def _compute_J_PZ_body(cfg, P_ext, with_rsd, mode, ec, g, npts, half, nfam):
     # run the transform pipeline in the engine-consts dtype (f32 when
     # cfg.engine_transform_dtype == 'float32'); outputs cast back at exit
@@ -471,17 +582,9 @@ def _compute_J_PZ_body(cfg, P_ext, with_rsd, mode, ec, g, npts, half, nfam):
     use_direct = use_matmul and cfg.conv_impl != "fft"
 
     # biased, coefficient-windowed forward transform of the three spectra
-    re, im = fourier.rfft(P_ext * ec.kbias, mode, ec.dft_np)
-    re, im = re * ec.wc, im * ec.wc
-    ca_re, ca_im = re[:, :half], im[:, :half]       # freqs [0, np/2)
-
-    # per-family coefficient products [nfam, 3, half]
-    def coeff_spectra(gr, gi):
-        return _cmul(ca_re[None], ca_im[None],
-                     gr[:nfam, None], gi[:nfam, None])
-
-    sa_re, sa_im = coeff_spectra(ec.ga_re, ec.ga_im)
-    sb_re, sb_im = coeff_spectra(ec.gb_re, ec.gb_im)
+    # + per-family coefficient products [nfam, 3, half]
+    sa_re, sa_im, sb_re, sb_im = _coeff_spectra_pair(P_ext, nfam, mode,
+                                                     ec, half)
 
     # spectral convolution C_h = sum_{m+n=h} (c g^a)_m (c g^b)_n over all
     # 3x3 spectrum pairs (reference iconvolve/cconvolve step)
@@ -492,13 +595,8 @@ def _compute_J_PZ_body(cfg, P_ext, with_rsd, mode, ec, g, npts, half, nfam):
         c_re, c_im = _spectral_conv_direct(sa_re, sa_im, sb_re, sb_im,
                                            npts, cfg.conv_impl)
     else:
-        pad = jnp.zeros(sa_re.shape[:-1] + (npts + 1 - half,), sa_re.dtype)
-        padc = lambda x: jnp.concatenate([x, pad], -1)
-        ta = fourier.hc_backward(padc(sa_re), padc(sa_im), n2, mode,
-                                 ec.dft_2np)
-        tb = fourier.hc_backward(padc(sb_re), padc(sb_im), n2, mode,
-                                 ec.dft_2np)
-        prod = ta[:, :, None, :] * tb[:, None, :, :] / n2  # [nf,3,3,2np]
+        prod = _conv_prod(sa_re, sa_im, sb_re, sb_im, npts, mode,
+                          ec)                              # [nf,3,3,2np]
         c_re, c_im = fourier.rfft(prod, mode, ec.dft_2np)  # [nf,3,3,np+1]
 
     # multiply by f (and tau phase, baked into fh), back-transform, sample
@@ -525,3 +623,71 @@ def _compute_J_PZ_body(cfg, P_ext, with_rsd, mode, ec, g, npts, half, nfam):
     PZ = ec.pz_kfac * conv[:, :, None, :] * P_ext[None, None]
 
     return J.astype(out_dt), PZ.astype(out_dt)
+
+
+def compute_J_PZ_windowed(cfg: SolverConfig, P_ext: jnp.ndarray,
+                          with_rsd: bool, mode: str = "auto",
+                          ec: EngineConsts | None = None):
+    """The engine restricted to the assembly's read set (the RHS hot path).
+
+    Returns (J_w [NFAM, 3, 3, nk], J_lo scalar, PZ_w [7, 3, 3, nk]):
+    J/PZ sampled only on the solver window plus the PMR low-k point
+    (reference reads: redTime.cc:813-1279 [nshift+i], :1252 nloMR) —
+    numerically identical to slicing compute_J_PZ's outputs, but the
+    output-side backward DFT, f/tau phase and rfft(prod) collapse into
+    one per-family fused matrix over nk+1 columns instead of two
+    full-grid contractions (~4x fewer output-leg MACs).  Falls back to
+    compute_J_PZ + slicing when the fused constants are unavailable
+    (fft mode / direct convolution)."""
+    g = make_grids(cfg)
+    if ec is None:
+        ec = engine_consts(cfg, mode)
+    use_matmul = fourier._resolve(mode) == "matmul"
+    nk = g.nk
+    if not (use_matmul and cfg.conv_impl == "fft"
+            and ec.dft_bwd_out is not None):
+        J, PZ = compute_J_PZ(cfg, P_ext, with_rsd, mode, ec)
+        sl = slice(g.nshift, g.nshift + nk)
+        nlo = g.nshift - nk // 2
+        return J[..., sl], J[0, 0, 0, nlo], PZ[..., sl]
+
+    npts, half = g.npts, g.npts // 2
+    nfam = NFAM if with_rsd else NFAM_J
+    out_dt = P_ext.dtype
+    P_e = P_ext.astype(ec.kbias.dtype)
+    with jax.default_matmul_precision("highest"):
+        # forward + coefficient window in one dot; re|im stacked on columns
+        ci = (P_e * ec.kbias) @ ec.dft_fwd_half       # [3, 2*half]
+        ca_re, ca_im = ci[:, :half], ci[:, half:]
+
+        def coeff(gr, gi):
+            sr, si = _cmul(ca_re[None], ca_im[None],
+                           gr[:nfam, None], gi[:nfam, None])
+            return jnp.concatenate([sr, si], axis=-1)  # [nfam, 3, 2*half]
+
+        # both convolution backward legs in one dot
+        sab = jnp.stack([coeff(ec.ga_re, ec.ga_im),
+                         coeff(ec.gb_re, ec.gb_im)])   # [2, nfam, 3, 2half]
+        tab = sab @ ec.dft_bwd_half                    # [2, nfam, 3, 2np]
+        prod = tab[0][:, :, None, :] * tab[1][:, None, :, :] / (2 * npts)
+        # output leg: shared forward, per-family phase, shared restricted
+        # backward — all flat dots
+        n2h = npts + 1
+        c = prod @ ec.dft_conv_fwd                     # [nf,3,3,2(np+1)]
+        cf_re, cf_im = _cmul(c[..., :n2h], c[..., n2h:],
+                             ec.fh_re[:nfam, None, None],
+                             ec.fh_im[:nfam, None, None])
+        t = jnp.concatenate([cf_re, cf_im], axis=-1) @ ec.dft_bwd_out
+        Jw = t * ec.prek_out[:nfam, None, None, :]
+        if not with_rsd:
+            Jw = jnp.concatenate(
+                [Jw, jnp.zeros((NFAM - NFAM_J,) + Jw.shape[1:], Jw.dtype)],
+                axis=0)
+        J_lo = Jw[0, 0, 0, nk]
+        Jw = Jw[..., :nk]
+
+        sl = slice(g.nshift, g.nshift + nk)
+        conv = jnp.einsum("nim,am->nai", ec.toeplitz_sl, P_e)
+        PZw = ec.pz_kfac_sl * conv[:, :, None, :] * P_e[None, None, :, sl]
+
+    return Jw.astype(out_dt), J_lo.astype(out_dt), PZw.astype(out_dt)

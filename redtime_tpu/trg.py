@@ -67,13 +67,10 @@ def compute_mode_coupling_full(cfg: SolverConfig, lnP3, n_s, with_rsd: bool,
                                k, mode: str = "auto", ec=None):
     """Full FAST-PT evaluation from the current spectra; returns
     (A_unique [14, nk], R [3,8,nk], PT [9,nk], PMR [8,nk])."""
-    g = make_grids(cfg)
     P_ext = fastpt.extend_power(cfg, lnP3, n_s, ec)
-    J, PZ = fastpt.compute_J_PZ(cfg, P_ext, with_rsd, mode, ec)
-    sl = slice(g.nshift, g.nshift + g.nk)
-    nlo = g.nshift - g.nk // 2          # reference :1252
-    return assembly.assemble(J[:7, :, :, sl], PZ[..., sl],
-                             J[7:, :, :, sl], J[0, 0, 0, nlo], k, with_rsd)
+    Jw, J_lo, PZw = fastpt.compute_J_PZ_windowed(cfg, P_ext, with_rsd,
+                                                 mode, ec)
+    return assembly.assemble(Jw[:7], PZw, Jw[7:], J_lo, k, with_rsd)
 
 
 def build_oneloop_cache(cfg: SolverConfig, settings: RunSettings,

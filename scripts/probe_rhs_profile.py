@@ -146,8 +146,8 @@ def main():
     def jpz_only(model, y):
         lnP = y.reshape(trg.NU_STATE, nk)[0:3]
         Pext = extend_power(cfg, lnP, model.cosmo.n_s, ec)
-        J, Jn0, PZ = compute_J_PZ(cfg, Pext, True, mode, ec)
-        return J.sum() + PZ.sum() + (0.0 if Jn0 is None else Jn0.sum())
+        J, PZ = compute_J_PZ(cfg, Pext, True, mode, ec)
+        return J.sum() + PZ.sum()
 
     f_jpz = jax.jit(jax.vmap(jpz_only))
     dt_jpz, _ = timed(f_jpz, m0, y0, reps=10)
