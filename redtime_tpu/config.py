@@ -103,6 +103,12 @@ class SolverConfig:
     # are pathologically slow), 'gather' or 'conv' (direct O(half^2)
     # contraction, ~50x fewer MACs; numerically identical to 1e-13 — the
     # right choice on runtimes with healthy gather/conv lowering).
+    conv_radix: int = 4          # radix of the split-DIT forward DFT on
+    # the windowed output leg (matmul mode): the length-2np rfft of the
+    # convolution product is computed as `conv_radix` interleaved
+    # subsequence rffts of length 2np/radix plus elementwise twiddle
+    # combines — exact f64 with 1/radix the matmul MACs (the emulated-f64
+    # dot is the full-TRG hot spot).  1 disables the split.
     engine_transform_dtype: str = "float64"  # 'float64' | 'float32':
     # dtype of the FAST-PT DFT/Toeplitz matmuls.  'float32' runs the
     # engine's big matmuls in true-f32 (6-pass bf16 on the MXU) under f64

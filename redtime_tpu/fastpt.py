@@ -283,6 +283,25 @@ def _restricted_out_consts(cfg: SolverConfig):
 
 
 @functools.lru_cache(maxsize=8)
+def _radix_consts(cfg: SolverConfig):
+    """Split-DIT constants for the output-leg forward rfft (length n=2np,
+    radix r): the subsequence forward matrix [m, 2(m/2+1)] (m = n/r, re|im
+    stacked on columns) and the twiddle factors e^{-2 pi i s k / n} as
+    (tw_re, tw_im) [r, n/2+1].  X_k = sum_s tw[s,k] * F_s(k mod m) with
+    F_s the rfft of subsequence x[s::r], Hermitian-extended."""
+    g = make_grids(cfg)
+    r = cfg.conv_radix
+    n = 2 * g.npts
+    m = n // r
+    fc, fs, _, _ = fourier._dft_matrices(m)
+    fwd = np.concatenate([fc, -fs], axis=1)         # [m, 2(m/2+1)]
+    s = np.arange(r)[:, None]
+    k = np.arange(n // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * s * k / n
+    return fwd, np.cos(ang), -np.sin(ang)
+
+
+@functools.lru_cache(maxsize=8)
 def _half_leg_consts(cfg: SolverConfig):
     """Single-dot matrices for the windowed path's forward and
     convolution-backward legs.
@@ -344,6 +363,11 @@ class EngineConsts(NamedTuple):
     # re|im stacked on rows
     dft_fwd_half: object = None   # [np, 2*half] = [fc.wc | -fs.wc]
     dft_bwd_half: object = None   # [2*half, 2np] = [bc[:half]; bs[:half]]
+    # split-DIT forward rfft on the output leg (conv_radix > 1): the
+    # length-2np/r subsequence forward matrix and the twiddle factors
+    dft_fwd_sub: object = None    # [m, 2(m/2+1)], m = 2np/conv_radix
+    tw_re: object = None          # [r, np+1]
+    tw_im: object = None          # [r, np+1]
 
 
 def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
@@ -386,7 +410,12 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
         toeplitz_sl=(t(co.toeplitz[:, g.nshift:g.nshift + g.nk, :])
                      if use_matmul else None),
         pz_kfac_sl=(t(co.pz_kfac[g.nshift:g.nshift + g.nk])
-                    if use_matmul else None))
+                    if use_matmul else None),
+        **({"dft_fwd_sub": t(_radix_consts(cfg)[0]),
+            "tw_re": t(_radix_consts(cfg)[1]),
+            "tw_im": t(_radix_consts(cfg)[2])}
+           if use_matmul and cfg.conv_impl == "fft" and cfg.conv_radix > 1
+           else {}))
 
 
 def extend_power(cfg: SolverConfig, lnP3: jnp.ndarray, n_s,
@@ -673,8 +702,30 @@ def compute_J_PZ_windowed(cfg: SolverConfig, P_ext: jnp.ndarray,
         # output leg: shared forward, per-family phase, shared restricted
         # backward — all flat dots
         n2h = npts + 1
-        c = prod @ ec.dft_conv_fwd                     # [nf,3,3,2(np+1)]
-        cf_re, cf_im = _cmul(c[..., :n2h], c[..., n2h:],
+        r = cfg.conv_radix
+        if r > 1 and ec.dft_fwd_sub is not None:
+            # split-DIT rfft: r interleaved subsequence rffts of length
+            # m = 2np/r (1/r the dot MACs) + elementwise twiddle combine
+            # X_k = sum_s e^{-2 pi i s k / n} F_s(k mod m)
+            m = 2 * npts // r
+            mh = m // 2 + 1
+            xs = jnp.moveaxis(
+                prod.reshape(prod.shape[:-1] + (m, r)), -1, -2)
+            z = xs @ ec.dft_fwd_sub                    # [nf,3,3,r,2mh]
+            fre, fim = z[..., :mh], z[..., mh:]
+            # Hermitian period-m extension tiled over the np+1 columns
+            pre = jnp.concatenate(
+                [fre, jnp.flip(fre[..., 1:m // 2], -1)], -1)
+            pim = jnp.concatenate(
+                [fim, -jnp.flip(fim[..., 1:m // 2], -1)], -1)
+            ere = jnp.concatenate([pre] * (r // 2) + [fre[..., :1]], -1)
+            eim = jnp.concatenate([pim] * (r // 2) + [fim[..., :1]], -1)
+            c_re = (ere * ec.tw_re - eim * ec.tw_im).sum(-2)
+            c_im = (ere * ec.tw_im + eim * ec.tw_re).sum(-2)
+        else:
+            c = prod @ ec.dft_conv_fwd                 # [nf,3,3,2(np+1)]
+            c_re, c_im = c[..., :n2h], c[..., n2h:]
+        cf_re, cf_im = _cmul(c_re, c_im,
                              ec.fh_re[:nfam, None, None],
                              ec.fh_im[:nfam, None, None])
         t = jnp.concatenate([cf_re, cf_im], axis=-1) @ ec.dft_bwd_out

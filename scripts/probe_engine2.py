@@ -47,7 +47,7 @@ def inloop_time(step, y0, n=N_ITER, reps=3):
 
 def main():
     mode = "matmul" if jax.default_backend() == "tpu" else "fft"
-    cfg = SolverConfig(fft_mode=mode)
+    cfg = SolverConfig(fft_mode=mode, conv_radix=int(os.environ.get("REDTIME_RADIX", "4")))
     lin = _example_inputs(cfg)
     cosmos = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[_cosmo(i) for i in range(CH)])

@@ -1,0 +1,71 @@
+"""Windowed + radix-split engine path vs the exact fft-mode engine.
+
+The production TPU hot path (`fastpt.compute_J_PZ_windowed`, matmul mode)
+restricts the output transforms to the assembly's read set (reference
+reads redTime.cc:813-1279 [nshift+i] and :1252 nloMR) and computes the
+output-leg rfft as a radix-r split-DIT.  Both must be numerically
+equivalent to slicing the full fft-mode engine outputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from redtime_tpu import fastpt
+from redtime_tpu.config import SolverConfig
+
+
+def _smooth_spectrum(cfg):
+    """BBKS-shaped P(k) on the solver grid -> extended-grid spectra."""
+    k = np.logspace(np.log10(cfg.kmin), np.log10(cfg.kmax), cfg.nk)
+    q = k / 0.2
+    T = (np.log(1 + 2.34 * q) / (2.34 * q)
+         * (1 + 3.89 * q + (16.1 * q) ** 2 + (5.46 * q) ** 3
+            + (6.71 * q) ** 4) ** -0.25)
+    P = 2e4 * k ** 0.96 * T ** 2
+    lnP3 = jnp.asarray(np.log(np.stack([P, 0.9 * P, 0.81 * P])))
+    return fastpt.extend_power(cfg, lnP3, 0.96)
+
+
+@pytest.mark.parametrize("radix", [1, 2, 4, 8])
+@pytest.mark.parametrize("with_rsd", [True, False])
+def test_windowed_matches_fft_truth(radix, with_rsd):
+    cfg = SolverConfig(nk=64, fft_mode="matmul", conv_radix=radix)
+    g = fastpt.make_grids(cfg)
+    P_ext = _smooth_spectrum(cfg)
+
+    Jf, PZf = fastpt.compute_J_PZ(cfg, P_ext, with_rsd, "fft")
+    sl = slice(g.nshift, g.nshift + cfg.nk)
+    nlo = g.nshift - cfg.nk // 2
+
+    ec = fastpt.engine_consts(cfg, "matmul")
+    Jw, J_lo, PZw = fastpt.compute_J_PZ_windowed(cfg, P_ext, with_rsd,
+                                                 "matmul", ec)
+    assert Jw.shape == (fastpt.NFAM, 3, 3, cfg.nk)
+
+    scale = float(jnp.max(jnp.abs(Jf[..., sl])))
+    nfam = fastpt.NFAM if with_rsd else fastpt.NFAM_J
+    np.testing.assert_allclose(np.asarray(Jw[:nfam]),
+                               np.asarray(Jf[:nfam, :, :, sl]),
+                               atol=2e-11 * scale, rtol=0)
+    if not with_rsd:   # RSD families zero-filled
+        assert float(jnp.max(jnp.abs(Jw[nfam:]))) == 0.0
+    np.testing.assert_allclose(float(J_lo), float(Jf[0, 0, 0, nlo]),
+                               atol=2e-11 * max(scale, 1.0))
+    np.testing.assert_allclose(np.asarray(PZw), np.asarray(PZf[..., sl]),
+                               rtol=1e-10)
+
+
+def test_windowed_fallback_slices_full_path():
+    """fft mode has no fused constants: the windowed API must fall back to
+    compute_J_PZ + slicing, bit-identically."""
+    cfg = SolverConfig(nk=64, fft_mode="fft")
+    g = fastpt.make_grids(cfg)
+    P_ext = _smooth_spectrum(cfg)
+    J, PZ = fastpt.compute_J_PZ(cfg, P_ext, True, "fft")
+    Jw, J_lo, PZw = fastpt.compute_J_PZ_windowed(cfg, P_ext, True, "fft")
+    sl = slice(g.nshift, g.nshift + cfg.nk)
+    assert jnp.array_equal(Jw, J[..., sl])
+    assert jnp.array_equal(PZw, PZ[..., sl])
+    assert float(J_lo) == float(J[0, 0, 0, g.nshift - cfg.nk // 2])
