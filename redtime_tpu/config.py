@@ -103,6 +103,13 @@ class SolverConfig:
     # are pathologically slow), 'gather' or 'conv' (direct O(half^2)
     # contraction, ~50x fewer MACs; numerically identical to 1e-13 — the
     # right choice on runtimes with healthy gather/conv lowering).
+    out_leg: str = "auto"        # windowed output-leg implementation:
+    # 'dot' (two flat emulated-f64 matmuls), 'ozaki' (per-family composite
+    # matrix G_f = F diag(fh_f) B_out with prek folded in, contracted as
+    # Ozaki-split integer bf16 slices on the MXU with exact f32
+    # accumulation — ~3x faster than the f64 dots on the current runtime
+    # at ~4e-12 relative accuracy), or 'auto' (ozaki on TPU, dot
+    # elsewhere).  Ozaki requires engine_transform_dtype == 'float64'.
     conv_radix: int = 4          # radix of the split-DIT forward DFT on
     # the windowed output leg (matmul mode): the length-2np rfft of the
     # convolution product is computed as `conv_radix` interleaved

@@ -282,6 +282,104 @@ def _restricted_out_consts(cfg: SolverConfig):
     return fwd, bwd
 
 
+def _oz_q(K: int) -> int:
+    """Ozaki bits-per-slice for contraction length K: slice products are
+    integers < 2^(2q) and their K-term sums < 2^(2q + log2 K) must stay
+    exactly representable in the MXU's f32 accumulator (24-bit)."""
+    return (24 - int(np.ceil(np.log2(K)))) // 2
+
+
+def _oz_sa(q: int) -> int:
+    """Activation slice count: cover the full f64 mantissa plus guard
+    bits.  The composite dot concentrates the whole output leg's
+    cancellation in one contraction (the RSD-family J's cancel ~1e4 of
+    the slice-product scale), so truncating the activation at ~42 bits
+    costs ~1e-7 relative there; full coverage keeps the windowed J within
+    ~1e-11 of the f64 path at ~15% more MXU work."""
+    return -(-56 // q)
+
+
+@functools.lru_cache(maxsize=8)
+def _ozaki_out_consts(cfg: SolverConfig):
+    """Composite per-family output matrices, Ozaki-split.
+
+    The windowed output leg (rfft of the convolution product -> per-family
+    f/tau phase -> restricted backward DFT -> prek) is linear per family:
+    J_f = prod_f @ G_f with G_f = [FC|(-FS)] . diag-phase . [Bc;Bs] and
+    prek folded into the columns.  G is split on a per-column power-of-two
+    grid into integer slices (|t| < 2^q) so that every pairwise product
+    against the activation slices accumulates EXACTLY in f32 on the MXU
+    (Ozaki scheme) — full f64-grade accuracy from bf16 matmul passes.
+
+    Returns (g_sl [K, sb*(nk+1)] per family stacked as [nf, K, sb*O]
+    f32-integer-valued, col_scale [nf, 1, 1, O] f64, sb)."""
+    g = make_grids(cfg)
+    co = fastpt_coeffs(cfg)
+    npts = g.npts
+    fwd, bwd = _restricted_out_consts(cfg)
+    n2h = npts + 1
+    FC, FSn = fwd[:, :n2h], fwd[:, n2h:]
+    Bc, Bs = bwd[:n2h], bwd[n2h:]
+    prek_out = np.asarray(co.prek)[:, _out_columns(g)]
+    K = 2 * npts
+    O = g.nk + 1
+    G = np.empty((NFAM, K, O))
+    for f in range(NFAM):
+        fr, fi = np.asarray(co.fh_re[f]), np.asarray(co.fh_im[f])
+        G[f] = (FC @ (fr[:, None] * Bc + fi[:, None] * Bs)
+                + FSn @ (fr[:, None] * Bs - fi[:, None] * Bc))
+        G[f] *= prek_out[f][None, :]
+    q = _oz_q(K)
+    sb = -(-53 // q)             # full f64 mantissa coverage of G
+    # two-sided balancing: the per-family f coefficients grow by many
+    # orders across h, so a column-only slice grid spends its bits on the
+    # huge-|fh| rows and truncates the rows where the data lives.  Fold a
+    # per-row power-of-two scale into the ACTIVATION (exact f64 multiply)
+    # so the sliced matrix is balanced and Ozaki truncation tracks true
+    # contribution magnitudes.
+    rmx = np.abs(G).max(axis=2, keepdims=True)            # [nf, K, 1]
+    rh = 2.0 ** np.round(np.log2(np.where(rmx > 0, rmx, 1.0)))
+    Gb = G / rh
+    mx = np.abs(Gb).max(axis=1, keepdims=True)
+    # +2: top slice < 2^(q-1) so K-term slice-product sums stay strictly
+    # below the f32 exact-integer boundary 2^24
+    e = 2.0 ** (np.floor(np.log2(np.maximum(mx, 1e-300))) + 2)
+    r = Gb / e
+    sl = []
+    for j in range(sb):
+        t = np.round(r * 2.0 ** (q * (j + 1)))
+        sl.append(t.astype(np.float32))
+        r = r - t / 2.0 ** (q * (j + 1))
+    # [sb, nf, K, O] -> [nf, K, sb*O] so the device dot needs no transpose
+    g_sl = np.stack(sl).transpose(1, 2, 0, 3).reshape(NFAM, K, sb * O)
+    return (g_sl, e.reshape(NFAM, 1, 1, O), sb,
+            rh.reshape(NFAM, 1, 1, K))
+
+
+def _oz_split_rows(x, q: int, s: int):
+    """f32-only Ozaki split of the last axis onto a per-row power-of-two
+    integer grid: x [..., K] f64 -> (slices [s, ..., K] f32-integer-valued,
+    row scale [..., 1] f64).  No emulated-f64 arithmetic beyond one
+    subtraction: the f64 value is consumed as its exact (hi, lo) f32 pair
+    and sliced with exact power-of-two f32 operations."""
+    ah = x.astype(jnp.float32)
+    al = (x - ah.astype(x.dtype)).astype(jnp.float32)
+    mx = jnp.max(jnp.abs(ah), axis=-1, keepdims=True)
+    ex = jnp.floor(jnp.log2(jnp.maximum(mx, jnp.float32(1e-38)))) + 2.0
+    inv = jnp.exp2(-ex)
+    r = ah * inv
+    yl = al * inv
+    sls = []
+    for i in range(s):
+        sc = np.float32(2.0 ** (q * (i + 1)))
+        t = jnp.round(r * sc)
+        sls.append(t)
+        r = r - t / sc
+        if i == 2:               # fold in the lo half once the hi bits
+            r = r + yl           # above its leading bit are consumed
+    return jnp.stack(sls), jnp.exp2(ex.astype(x.dtype))
+
+
 @functools.lru_cache(maxsize=8)
 def _radix_consts(cfg: SolverConfig):
     """Split-DIT constants for the output-leg forward rfft (length n=2np,
@@ -368,6 +466,11 @@ class EngineConsts(NamedTuple):
     dft_fwd_sub: object = None    # [m, 2(m/2+1)], m = 2np/conv_radix
     tw_re: object = None          # [r, np+1]
     tw_im: object = None          # [r, np+1]
+    # Ozaki composite output leg (out_leg 'ozaki'/'auto'): integer bf16
+    # slices of the per-family composite matrix and the f64 column scales
+    oz_g: object = None           # [NFAM, 2np, sb*(nk+1)] bf16
+    oz_g_scale: object = None     # [NFAM, 1, 1, nk+1] f64
+    oz_row: object = None         # [NFAM, 1, 1, 2np] f64 row balancing
 
 
 def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
@@ -415,6 +518,14 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
             "tw_re": t(_radix_consts(cfg)[1]),
             "tw_im": t(_radix_consts(cfg)[2])}
            if use_matmul and cfg.conv_impl == "fft" and cfg.conv_radix > 1
+           else {}),
+        **({"oz_g": jnp.asarray(_ozaki_out_consts(cfg)[0],
+                                dtype=jnp.bfloat16),
+            "oz_g_scale": jnp.asarray(_ozaki_out_consts(cfg)[1]),
+            "oz_row": jnp.asarray(_ozaki_out_consts(cfg)[3])}
+           if (use_matmul and cfg.conv_impl == "fft"
+               and cfg.engine_transform_dtype == "float64"
+               and cfg.out_leg != "dot")
            else {}))
 
 
@@ -699,6 +810,44 @@ def compute_J_PZ_windowed(cfg: SolverConfig, P_ext: jnp.ndarray,
                          coeff(ec.gb_re, ec.gb_im)])   # [2, nfam, 3, 2half]
         tab = sab @ ec.dft_bwd_half                    # [2, nfam, 3, 2np]
         prod = tab[0][:, :, None, :] * tab[1][:, None, :, :] / (2 * npts)
+        leg = cfg.out_leg
+        if leg == "auto":
+            leg = "ozaki" if _target_platform() == "tpu" else "dot"
+        if leg == "ozaki" and ec.oz_g is not None:
+            # Ozaki composite output leg: J_f = prod_f @ G_f evaluated as
+            # exact-accumulating integer bf16 slice products on the MXU
+            K = 2 * npts
+            O = nk + 1
+            q = _oz_q(K)
+            sa = _oz_sa(q)
+            sb = ec.oz_g.shape[-1] // O
+            xsl, xe = _oz_split_rows(prod * ec.oz_row[:nfam], q,
+                                     sa)            # [sa,nf,3,3,K]
+            lhs = (jnp.moveaxis(xsl, 1, 0)          # [nf,sa,3,3,K]
+                   .reshape(nfam, sa * 9, K).astype(jnp.bfloat16))
+            out = jax.lax.dot_general(
+                lhs, ec.oz_g[:nfam],
+                (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)  # [nf, sa*9, sb*O]
+            out = out.reshape(nfam, sa, 3, 3, sb, O).astype(P_e.dtype)
+            w = jnp.asarray(
+                [[2.0 ** (-q * (i + j + 2)) for j in range(sb)]
+                 for i in range(sa)], dtype=P_e.dtype)
+            J = (out * w[:, None, None, :, None]).sum((1, 4))
+            Jw = J * xe * ec.oz_g_scale[:nfam]      # [nf,3,3,O]
+            if not with_rsd:
+                Jw = jnp.concatenate(
+                    [Jw, jnp.zeros((NFAM - NFAM_J,) + Jw.shape[1:],
+                                   Jw.dtype)], axis=0)
+            J_lo = Jw[0, 0, 0, nk]
+            Jw = Jw[..., :nk]
+            sl = slice(g.nshift, g.nshift + nk)
+            conv = jnp.einsum("nim,am->nai", ec.toeplitz_sl, P_e)
+            PZw = (ec.pz_kfac_sl * conv[:, :, None, :]
+                   * P_e[None, None, :, sl])
+            return (Jw.astype(out_dt), J_lo.astype(out_dt),
+                    PZw.astype(out_dt))
         # output leg: shared forward, per-family phase, shared restricted
         # backward — all flat dots
         n2h = npts + 1

@@ -57,6 +57,28 @@ def test_windowed_matches_fft_truth(radix, with_rsd):
                                rtol=1e-10)
 
 
+def test_ozaki_out_leg_matches_dot():
+    """The Ozaki composite output leg (production TPU path: integer bf16
+    slice products with exact f32 accumulation, two-sided balancing) must
+    agree with the f64 flat-dot path to ~1e-9 of scale — far below the
+    eta controller's tolerance floor (eabs 1e-7)."""
+    cfg_d = SolverConfig(nk=64, fft_mode="matmul", out_leg="dot")
+    cfg_o = SolverConfig(nk=64, fft_mode="matmul", out_leg="ozaki")
+    P_ext = _smooth_spectrum(cfg_d)
+    for with_rsd in (True, False):
+        out_d = fastpt.compute_J_PZ_windowed(
+            cfg_d, P_ext, with_rsd, "matmul",
+            fastpt.engine_consts(cfg_d, "matmul"))
+        out_o = fastpt.compute_J_PZ_windowed(
+            cfg_o, P_ext, with_rsd, "matmul",
+            fastpt.engine_consts(cfg_o, "matmul"))
+        scale = float(jnp.max(jnp.abs(out_d[0])))
+        assert float(jnp.max(jnp.abs(out_o[0] - out_d[0]))) < 2e-9 * scale
+        assert abs(float(out_o[1] - out_d[1])) < 2e-9 * max(scale, 1.0)
+        np.testing.assert_allclose(np.asarray(out_o[2]),
+                                   np.asarray(out_d[2]), rtol=1e-12)
+
+
 def test_windowed_fallback_slices_full_path():
     """fft mode has no fused constants: the windowed API must fall back to
     compute_J_PZ + slicing, bit-identically."""
