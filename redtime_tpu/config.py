@@ -110,6 +110,10 @@ class SolverConfig:
     # accumulation — ~3x faster than the f64 dots on the current runtime
     # at ~4e-12 relative accuracy), or 'auto' (ozaki on TPU, dot
     # elsewhere).  Ozaki requires engine_transform_dtype == 'float64'.
+    tab_leg: str = "auto"        # convolution backward-leg implementation:
+    # 'dot' (one flat emulated-f64 matmul) or 'ozaki' (diagonal-grouped
+    # int8 slice dots with exact int32 accumulation on the MXU, ~2x
+    # faster at ~3e-13 relative accuracy); 'auto' = ozaki on TPU.
     conv_radix: int = 4          # radix of the split-DIT forward DFT on
     # the windowed output leg (matmul mode): the length-2np rfft of the
     # convolution product is computed as `conv_radix` interleaved

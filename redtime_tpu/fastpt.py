@@ -381,6 +381,37 @@ def _oz_split_rows(x, q: int, s: int):
 
 
 @functools.lru_cache(maxsize=8)
+def _ozaki_tab_consts(cfg: SolverConfig):
+    """Diagonal-grouped int8 Ozaki slices of the convolution backward
+    matrix (dft_bwd_half).  Slice products of q-bit integers accumulate
+    EXACTLY in int32, so the f64 dot becomes cut+1 int8 MXU dots whose
+    lhs is a K-concat of activation slices.  Returns (diags: tuple of
+    [len_d*K, 2np] f32-integer arrays (cast to int8 at pack time),
+    col_scale [1, 2np] f64, sa, sb, cut)."""
+    B = _half_leg_consts(cfg)[1]                  # [K, 2np]
+    K = B.shape[0]
+    # int8 magnitude caps the slice width at 7 bits (top slice reaches
+    # 2^(q-1) with the guard bit; 2^7 would wrap int8)
+    q = min(_oz_q(K), 7)
+    sa = _oz_sa(q)
+    sb = -(-53 // q)
+    cut = sa - 2                                  # measured ~3e-13 of scale
+    mx = np.abs(B).max(axis=0, keepdims=True)
+    e = 2.0 ** (np.floor(np.log2(np.maximum(mx, 1e-300))) + 2)
+    r = B / e
+    sl = []
+    for j in range(sb):
+        t = np.round(r * 2.0 ** (q * (j + 1)))
+        sl.append(t.astype(np.int8))
+        r = r - t / 2.0 ** (q * (j + 1))
+    diags = []
+    for d in range(cut + 1):
+        js = [d - i for i in range(sa) if 0 <= d - i < sb]
+        diags.append(np.concatenate([sl[j] for j in js], axis=0))
+    return tuple(diags), e, sa, sb, cut
+
+
+@functools.lru_cache(maxsize=8)
 def _radix_consts(cfg: SolverConfig):
     """Split-DIT constants for the output-leg forward rfft (length n=2np,
     radix r): the subsequence forward matrix [m, 2(m/2+1)] (m = n/r, re|im
@@ -471,6 +502,8 @@ class EngineConsts(NamedTuple):
     oz_g: object = None           # [NFAM, 2np, sb*(nk+1)] bf16
     oz_g_scale: object = None     # [NFAM, 1, 1, nk+1] f64
     oz_row: object = None         # [NFAM, 1, 1, 2np] f64 row balancing
+    oz_b_diags: object = None     # tuple of [len_d*K, 2np] int8 diagonals
+    oz_b_scale: object = None     # [1, 2np] f64 column scales
 
 
 def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
@@ -526,6 +559,13 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
            if (use_matmul and cfg.conv_impl == "fft"
                and cfg.engine_transform_dtype == "float64"
                and cfg.out_leg != "dot")
+           else {}),
+        **({"oz_b_diags": tuple(jnp.asarray(d)
+                                for d in _ozaki_tab_consts(cfg)[0]),
+            "oz_b_scale": jnp.asarray(_ozaki_tab_consts(cfg)[1])}
+           if (use_matmul and cfg.conv_impl == "fft"
+               and cfg.engine_transform_dtype == "float64"
+               and cfg.tab_leg != "dot")
            else {}))
 
 
@@ -808,7 +848,30 @@ def compute_J_PZ_windowed(cfg: SolverConfig, P_ext: jnp.ndarray,
         # both convolution backward legs in one dot
         sab = jnp.stack([coeff(ec.ga_re, ec.ga_im),
                          coeff(ec.gb_re, ec.gb_im)])   # [2, nfam, 3, 2half]
-        tab = sab @ ec.dft_bwd_half                    # [2, nfam, 3, 2np]
+        tleg = cfg.tab_leg
+        if tleg == "auto":
+            tleg = "ozaki" if _target_platform() == "tpu" else "dot"
+        if tleg == "ozaki" and ec.oz_b_diags is not None:
+            # diagonal-grouped int8 Ozaki contraction (exact int32 accum)
+            q2 = min(_oz_q(npts), 7)   # int8 slice-magnitude cap
+            sa2 = _oz_sa(q2)
+            sb2 = -(-53 // q2)
+            rows = 2 * nfam * 3
+            n2 = 2 * npts
+            xsl, xe = _oz_split_rows(sab, q2, sa2)     # [sa2,2,nf,3,K]
+            x8 = xsl.astype(jnp.int8).reshape((sa2, rows, npts))
+            tot = jnp.zeros((rows, n2), sab.dtype)
+            for d, rhs in enumerate(ec.oz_b_diags):
+                iis = [i for i in range(sa2) if 0 <= d - i < sb2]
+                lhs = jnp.concatenate([x8[i] for i in iis], axis=-1)
+                o = jax.lax.dot_general(
+                    lhs, rhs, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.int32)
+                tot = tot + o.astype(sab.dtype) * (2.0 ** (-q2 * (d + 2)))
+            tab = (tot.reshape(2, nfam, 3, n2) * xe * ec.oz_b_scale[0])
+        else:
+            tab = sab @ ec.dft_bwd_half                # [2, nfam, 3, 2np]
         prod = tab[0][:, :, None, :] * tab[1][:, None, :, :] / (2 * npts)
         leg = cfg.out_leg
         if leg == "auto":

@@ -57,13 +57,35 @@ def test_windowed_matches_fft_truth(radix, with_rsd):
                                rtol=1e-10)
 
 
+def test_ozaki_tab_leg_matches_dot():
+    """The diagonal-grouped int8 tab leg (convolution backward transform
+    as exact-int32 slice dots) must agree with the f64 dot to ~1e-12."""
+    cfg_d = SolverConfig(nk=64, fft_mode="matmul", out_leg="dot",
+                         tab_leg="dot")
+    cfg_t = SolverConfig(nk=64, fft_mode="matmul", out_leg="dot",
+                         tab_leg="ozaki")
+    P_ext = _smooth_spectrum(cfg_d)
+    for with_rsd in (True, False):
+        out_d = fastpt.compute_J_PZ_windowed(
+            cfg_d, P_ext, with_rsd, "matmul",
+            fastpt.engine_consts(cfg_d, "matmul"))
+        out_t = fastpt.compute_J_PZ_windowed(
+            cfg_t, P_ext, with_rsd, "matmul",
+            fastpt.engine_consts(cfg_t, "matmul"))
+        scale = float(jnp.max(jnp.abs(out_d[0])))
+        assert float(jnp.max(jnp.abs(out_t[0] - out_d[0]))) < 1e-11 * scale
+        assert abs(float(out_t[1] - out_d[1])) < 1e-11 * max(scale, 1.0)
+
+
 def test_ozaki_out_leg_matches_dot():
     """The Ozaki composite output leg (production TPU path: integer bf16
     slice products with exact f32 accumulation, two-sided balancing) must
     agree with the f64 flat-dot path to ~1e-9 of scale — far below the
     eta controller's tolerance floor (eabs 1e-7)."""
-    cfg_d = SolverConfig(nk=64, fft_mode="matmul", out_leg="dot")
-    cfg_o = SolverConfig(nk=64, fft_mode="matmul", out_leg="ozaki")
+    cfg_d = SolverConfig(nk=64, fft_mode="matmul", out_leg="dot",
+                         tab_leg="dot")
+    cfg_o = SolverConfig(nk=64, fft_mode="matmul", out_leg="ozaki",
+                         tab_leg="dot")
     P_ext = _smooth_spectrum(cfg_d)
     for with_rsd in (True, False):
         out_d = fastpt.compute_J_PZ_windowed(
