@@ -209,9 +209,14 @@ def solve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
     jit so the engine's large static arrays are parameters, not baked
     constants (TPU compile-time critical)."""
     _check_settings(settings)
-    g = make_grids(cfg)
     ys, _ = trg.evolve(cfg, settings, model, mode, ec)
+    return _finalize(cfg, settings, model, ys, mode, ec)
 
+
+def _finalize(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
+              ys, mode: str, ec) -> RunResult:
+    """Output assembly from the evolved states [n_eta, NU_STATE, nk]."""
+    g = make_grids(cfg)
     z_arr = np.asarray(settings.z_out, dtype=np.float64)
     a_arr = 1.0 / (1.0 + z_arr)
 
@@ -229,6 +234,17 @@ def solve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
         z=jnp.asarray(z_arr), H=Hs, sigma_v2=svs,
         sigmaV2_z0=model.sigmaV2_z0,
         eta_fin=jnp.asarray(np.log(1.0 / settings.a_in)))
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_solve_packed(cfg: SolverConfig, settings: RunSettings,
+                         mode: str, n_lanes: int):
+    """Work-queue batch solve (trg.evolve_packed) + vmapped finalize."""
+    def fn(ms, ec):
+        ys = trg.evolve_packed(cfg, settings, ms, n_lanes, mode, ec)
+        return jax.vmap(
+            lambda m, ym: _finalize(cfg, settings, m, ym, mode, ec))(ms, ys)
+    return jax.jit(fn)
 
 
 def run_pipeline(cfg: SolverConfig, settings: RunSettings, c: CosmoParams,
@@ -305,12 +321,42 @@ def _default_chunk(settings: RunSettings) -> int:
     return DEFAULT_TPU_CHUNK
 
 
+def _run_batch_packed(cfg: SolverConfig, settings: RunSettings,
+                      cs: CosmoParams, lins, mode: str,
+                      norm_override=None) -> RunResult:
+    """Packed work-queue batch: prepare all models (host CPU on
+    accelerators — cheap and immune to device wedges), move the stacked
+    pytree across once, then ONE device program in which lanes pull
+    cosmologies off the queue as they finish (trg.evolve_packed).
+    Removes the chunked scheduler's per-segment lockstep syncs (~6%
+    solve-only on homogeneous batches, more when stiffness varies);
+    the chunked path keeps the end-to-end edge on uniform batches via
+    host-prepare/device-solve overlap."""
+    dev = _target_device()
+    n = _batch_size(cs)
+    lanes = min(int(os.environ.get("REDTIME_LANES", "8")), n)
+    wn = norm_override is not None
+    nrm = (jnp.asarray(norm_override),) if wn else ()
+    if dev.platform != "cpu":
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            ms = _jitted_prepare(cfg, True, wn)(
+                jax.device_put(cs, cpu), jax.device_put(lins, cpu),
+                *jax.device_put(nrm, cpu))
+            jax.block_until_ready(ms)
+        ms = jax.device_put(ms, dev)
+    else:
+        ms = _jitted_prepare(cfg, True, wn)(cs, lins, *nrm)
+    return _jitted_solve_packed(cfg, settings, mode, lanes)(
+        ms, _device_ec(cfg, mode, dev))
+
+
 def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
               lins: LinearData, mode: str = "auto",
               mesh=None, axis: str = "batch",
               prepare_on_host: bool | None = None,
               max_chunk: int | None = None,
-              norm_override=None) -> RunResult:
+              norm_override=None, scheduler: str = "auto") -> RunResult:
     """Batched pipeline: vmap over stacked cosmologies, optionally sharded
     over a device mesh along the batch axis (embarrassingly parallel — the
     Time-RG math has no cross-cosmology coupling, so the only communication
@@ -321,6 +367,19 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
     executable).  Defaults to 32 on accelerators, unchunked on CPU.
     """
     n = _batch_size(cs)
+    scheduler = os.environ.get("REDTIME_SCHEDULER", scheduler)
+    if scheduler == "auto":
+        # measured (TPU, homogeneous batch of 32): packed solve-only is
+        # ~6% faster than chunked (it removes per-segment lockstep syncs)
+        # but loses end-to-end because chunked overlaps host prepare with
+        # device solve across sub-batches.  The real lockstep waste is
+        # only ~15% (max-over-lanes vs per-model-mean attempts), so
+        # chunked stays the default; choose packed explicitly for
+        # heterogeneous batches with widely varying stiffness.
+        scheduler = "chunked"
+    if scheduler == "packed":
+        return _run_batch_packed(cfg, settings, cs, lins, mode,
+                                 norm_override)
     if max_chunk is None:
         max_chunk = int(os.environ.get("REDTIME_MAX_CHUNK",
                                        _default_chunk(settings))) \

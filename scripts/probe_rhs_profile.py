@@ -97,9 +97,12 @@ def main():
     print(f"solve+stats (chunk {chunk}): {dt_solve:.2f}s "
           f"-> {chunk / dt_solve * 60:.0f}/min")
     print(f"attempts per segment (per model):\n{ns}")
+    # lockstep cost = sum over segments of the max over models;
+    # (an earlier revision summed max-over-segments per model — 4x too
+    # high, which motivated the packed scheduler experiment)
     print(f"total attempts (lockstep max per seg): "
-          f"{int(ns.max(axis=1).sum())}; per-model mean "
-          f"{ns.sum(axis=0).mean():.0f}")
+          f"{int(ns.max(axis=0).sum())}; per-model mean "
+          f"{ns.sum(axis=1).mean():.0f}")
 
     # --- one rk_step
     m0 = ms

@@ -1,0 +1,75 @@
+"""Work-queue (packed) batch scheduler vs the chunked vmap scheduler.
+
+trg.evolve_packed lets each lane advance its own adaptive trajectory and
+pull the next cosmology off a queue on completion, removing the chunked
+scheduler's per-segment max-over-lanes lockstep waste (measured ~4x on
+production batches).  Trajectories apply the same controller arithmetic,
+so outputs must agree within the controller's tolerance band.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from __graft_entry__ import _cosmo, _example_inputs
+from redtime_tpu import driver, trg
+from redtime_tpu.config import RunSettings, SolverConfig
+
+CFG = SolverConfig(nk=32, fft_mode="fft")
+SETTINGS = RunSettings(one_loop=False, z_out=(2.0, 1.0, 0.5, 0.0))
+
+
+def _batch(n):
+    lin = _example_inputs(CFG)
+    cosmos = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                    *[_cosmo(i) for i in range(n)])
+    lins = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *([lin] * n))
+    return cosmos, lins
+
+
+def test_packed_matches_chunked():
+    """Fewer lanes than models, so lanes cycle through the queue."""
+    cosmos, lins = _batch(5)
+    r_ch = driver.run_batch(CFG, SETTINGS, cosmos, lins, mode="fft",
+                            scheduler="chunked")
+    old = os.environ.get("REDTIME_LANES")
+    os.environ["REDTIME_LANES"] = "3"
+    try:
+        r_pk = driver.run_batch(CFG, SETTINGS, cosmos, lins, mode="fft",
+                                scheduler="packed")
+    finally:
+        if old is None:
+            os.environ.pop("REDTIME_LANES", None)
+        else:
+            os.environ["REDTIME_LANES"] = old
+    tc, tp = np.asarray(r_ch.table), np.asarray(r_pk.table)
+    assert tc.shape == tp.shape
+    # controller tolerance band (erel_P = 1e-2 drives ~1e-6 trajectory
+    # reproducibility across different batch lowerings)
+    np.testing.assert_allclose(tp, tc, rtol=3e-5, atol=1e-12)
+    # per-model z/eta metadata identical
+    np.testing.assert_array_equal(np.asarray(r_ch.z), np.asarray(r_pk.z))
+
+
+def test_packed_single_model_matches_evolve():
+    cosmos, lins = _batch(1)
+    lin = _example_inputs(CFG)
+    m = driver._jitted_prepare(CFG, False)(_cosmo(0), lin)
+    ys_seq, _ = jax.jit(
+        lambda mm: trg.evolve(CFG, SETTINGS, mm, "fft"))(m)
+    ms = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], m)
+    ys_pk = jax.jit(
+        lambda mm: trg.evolve_packed(CFG, SETTINGS, mm, 1, "fft"))(ms)
+    np.testing.assert_allclose(np.asarray(ys_pk[0]), np.asarray(ys_seq),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_packed_rejects_one_loop():
+    cosmos, lins = _batch(2)
+    s1l = RunSettings(one_loop=True, z_out=(1.0, 0.0))
+    with pytest.raises(NotImplementedError):
+        driver.run_batch(CFG, s1l, cosmos, lins, mode="fft",
+                         scheduler="packed")
