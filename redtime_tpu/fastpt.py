@@ -341,18 +341,28 @@ def _ozaki_out_consts(cfg: SolverConfig):
     rh = 2.0 ** np.round(np.log2(np.where(rmx > 0, rmx, 1.0)))
     Gb = G / rh
     mx = np.abs(Gb).max(axis=1, keepdims=True)
-    # +2: top slice < 2^(q-1) so K-term slice-product sums stay strictly
-    # below the f32 exact-integer boundary 2^24
+    # +2: top slice < 2^(q-1) so slice-product sums stay strictly below
+    # the int32/f32 exact boundaries
     e = 2.0 ** (np.floor(np.log2(np.maximum(mx, 1e-300))) + 2)
     r = Gb / e
     sl = []
     for j in range(sb):
         t = np.round(r * 2.0 ** (q * (j + 1)))
-        sl.append(t.astype(np.float32))
+        sl.append(t.astype(np.int8))
         r = r - t / 2.0 ** (q * (j + 1))
-    # [sb, nf, K, O] -> [nf, K, sb*O] so the device dot needs no transpose
-    g_sl = np.stack(sl).transpose(1, 2, 0, 3).reshape(NFAM, K, sb * O)
-    return (g_sl, e.reshape(NFAM, 1, 1, O), sb,
+    # diagonal-grouped int8 packs: diagonal d pairs activation slice i
+    # with matrix slice d-i at the shared scale 2^{-q(d+2)}; each
+    # diagonal is ONE batched int8 dot over a K-concat of slices
+    sa = -(-56 // q)
+    cut = max(sa, sb) - 1        # keeps every pair with min(i,j) = 0;
+    # dropped pairs have i,j >= 1 and i+j > cut, weighing <= 2^{-q(cut+4)}
+    diags = []
+    for d in range(cut + 1):
+        js = [d - i for i in range(sa) if 0 <= d - i < sb]
+        if not js:
+            break
+        diags.append(np.concatenate([sl[j] for j in js], axis=1))
+    return (tuple(diags), e.reshape(NFAM, 1, 1, O), sa, sb,
             rh.reshape(NFAM, 1, 1, K))
 
 
@@ -366,7 +376,13 @@ def _oz_split_rows(x, q: int, s: int):
     al = (x - ah.astype(x.dtype)).astype(jnp.float32)
     mx = jnp.max(jnp.abs(ah), axis=-1, keepdims=True)
     ex = jnp.floor(jnp.log2(jnp.maximum(mx, jnp.float32(1e-38)))) + 2.0
-    inv = jnp.exp2(-ex)
+    # build 2^-ex EXACTLY by f32 exponent bit-casting: jnp.exp2 lowers
+    # through pow and is ~1e-8 off for plain integer arguments, which
+    # would put the slices on a non-power-of-two grid and cap the whole
+    # reconstruction at that error
+    exi = jnp.clip(ex, -125.0, 125.0).astype(jnp.int32)
+    inv = jax.lax.bitcast_convert_type(
+        ((127 - exi) << 23).astype(jnp.int32), jnp.float32)
     r = ah * inv
     yl = al * inv
     sls = []
@@ -377,7 +393,9 @@ def _oz_split_rows(x, q: int, s: int):
         r = r - t / sc
         if i == 2:               # fold in the lo half once the hi bits
             r = r + yl           # above its leading bit are consumed
-    return jnp.stack(sls), jnp.exp2(ex.astype(x.dtype))
+    # 2^ex = 1/inv exactly (division of 1 by a power of two), portable
+    # to the TPU's non-IEEE emulated f64 (no f64 bitcasts needed)
+    return jnp.stack(sls), 1.0 / inv.astype(x.dtype)
 
 
 @functools.lru_cache(maxsize=8)
@@ -499,11 +517,12 @@ class EngineConsts(NamedTuple):
     tw_im: object = None          # [r, np+1]
     # Ozaki composite output leg (out_leg 'ozaki'/'auto'): integer bf16
     # slices of the per-family composite matrix and the f64 column scales
-    oz_g: object = None           # [NFAM, 2np, sb*(nk+1)] bf16
+    oz_g_diags: object = None     # tuple of [NFAM, len_d*2np, nk+1] int8
     oz_g_scale: object = None     # [NFAM, 1, 1, nk+1] f64
     oz_row: object = None         # [NFAM, 1, 1, 2np] f64 row balancing
     oz_b_diags: object = None     # tuple of [len_d*K, 2np] int8 diagonals
     oz_b_scale: object = None     # [1, 2np] f64 column scales
+
 
 
 def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
@@ -552,10 +571,10 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
             "tw_im": t(_radix_consts(cfg)[2])}
            if use_matmul and cfg.conv_impl == "fft" and cfg.conv_radix > 1
            else {}),
-        **({"oz_g": jnp.asarray(_ozaki_out_consts(cfg)[0],
-                                dtype=jnp.bfloat16),
+        **({"oz_g_diags": tuple(jnp.asarray(d)
+                                for d in _ozaki_out_consts(cfg)[0]),
             "oz_g_scale": jnp.asarray(_ozaki_out_consts(cfg)[1]),
-            "oz_row": jnp.asarray(_ozaki_out_consts(cfg)[3])}
+            "oz_row": jnp.asarray(_ozaki_out_consts(cfg)[4])}
            if (use_matmul and cfg.conv_impl == "fft"
                and cfg.engine_transform_dtype == "float64"
                and cfg.out_leg != "dot")
@@ -876,28 +895,31 @@ def compute_J_PZ_windowed(cfg: SolverConfig, P_ext: jnp.ndarray,
         leg = cfg.out_leg
         if leg == "auto":
             leg = "ozaki" if _target_platform() == "tpu" else "dot"
-        if leg == "ozaki" and ec.oz_g is not None:
+        if leg == "ozaki" and ec.oz_g_diags is not None:
             # Ozaki composite output leg: J_f = prod_f @ G_f evaluated as
-            # exact-accumulating integer bf16 slice products on the MXU
+            # diagonal-grouped int8 slice dots with exact int32
+            # accumulation on the MXU (the per-family composite matrix
+            # G_f has the phase, restricted backward DFT and prek folded
+            # in; two-sided balancing via oz_row)
             K = 2 * npts
             O = nk + 1
-            q = _oz_q(K)
-            sa = _oz_sa(q)
-            sb = ec.oz_g.shape[-1] // O
+            q = min(_oz_q(K), 7)
+            sa = -(-56 // q)
+            sb = -(-53 // q)
             xsl, xe = _oz_split_rows(prod * ec.oz_row[:nfam], q,
                                      sa)            # [sa,nf,3,3,K]
-            lhs = (jnp.moveaxis(xsl, 1, 0)          # [nf,sa,3,3,K]
-                   .reshape(nfam, sa * 9, K).astype(jnp.bfloat16))
-            out = jax.lax.dot_general(
-                lhs, ec.oz_g[:nfam],
-                (((2,), (1,)), ((0,), (0,))),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)  # [nf, sa*9, sb*O]
-            out = out.reshape(nfam, sa, 3, 3, sb, O).astype(P_e.dtype)
-            w = jnp.asarray(
-                [[2.0 ** (-q * (i + j + 2)) for j in range(sb)]
-                 for i in range(sa)], dtype=P_e.dtype)
-            J = (out * w[:, None, None, :, None]).sum((1, 4))
+            x8 = (jnp.moveaxis(xsl.astype(jnp.int8), 1, 0)
+                  .reshape(nfam, sa, 9, K))
+            tot = jnp.zeros((nfam, 9, O), P_e.dtype)
+            for d, rhs in enumerate(ec.oz_g_diags):
+                iis = [i for i in range(sa) if 0 <= d - i < sb]
+                lhs = jnp.concatenate([x8[:, i] for i in iis], axis=-1)
+                o = jax.lax.dot_general(
+                    lhs, rhs[:nfam], (((2,), (1,)), ((0,), (0,))),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.int32)
+                tot = tot + o.astype(P_e.dtype) * (2.0 ** (-q * (d + 2)))
+            J = tot.reshape(nfam, 3, 3, O)
             Jw = J * xe * ec.oz_g_scale[:nfam]      # [nf,3,3,O]
             if not with_rsd:
                 Jw = jnp.concatenate(
@@ -905,10 +927,7 @@ def compute_J_PZ_windowed(cfg: SolverConfig, P_ext: jnp.ndarray,
                                    Jw.dtype)], axis=0)
             J_lo = Jw[0, 0, 0, nk]
             Jw = Jw[..., :nk]
-            sl = slice(g.nshift, g.nshift + nk)
-            conv = jnp.einsum("nim,am->nai", ec.toeplitz_sl, P_e)
-            PZw = (ec.pz_kfac_sl * conv[:, :, None, :]
-                   * P_e[None, None, :, sl])
+            PZw = _pz_windowed(cfg, ec, P_e, g, nk)
             return (Jw.astype(out_dt), J_lo.astype(out_dt),
                     PZw.astype(out_dt))
         # output leg: shared forward, per-family phase, shared restricted
@@ -949,8 +968,19 @@ def compute_J_PZ_windowed(cfg: SolverConfig, P_ext: jnp.ndarray,
         J_lo = Jw[0, 0, 0, nk]
         Jw = Jw[..., :nk]
 
-        sl = slice(g.nshift, g.nshift + nk)
-        conv = jnp.einsum("nim,am->nai", ec.toeplitz_sl, P_e)
-        PZw = ec.pz_kfac_sl * conv[:, :, None, :] * P_e[None, None, :, sl]
+        PZw = _pz_windowed(cfg, ec, P_e, g, nk)
 
     return Jw.astype(out_dt), J_lo.astype(out_dt), PZw.astype(out_dt)
+
+
+def _pz_windowed(cfg: SolverConfig, ec: EngineConsts, P_e, g, nk):
+    """PZ on the solver window: Toeplitz contraction x P_e outer factor.
+
+    Stays an f64 contraction deliberately: the Z-kernel Toeplitz rows
+    cancel ~1e8 of the operand scale against a smooth spectrum (the
+    reference's own f64 brute-force conv carries the same conditioning),
+    so an operand-scale Ozaki slicing cannot reach the f64 result —
+    measured 1.5e-5 of the PZ maximum, vs 7e-13 for the J legs."""
+    sl = slice(g.nshift, g.nshift + nk)
+    conv = jnp.einsum("nim,am->nai", ec.toeplitz_sl, P_e)
+    return ec.pz_kfac_sl * conv[:, :, None, :] * P_e[None, None, :, sl]

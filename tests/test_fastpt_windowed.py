@@ -80,8 +80,9 @@ def test_ozaki_tab_leg_matches_dot():
 def test_ozaki_out_leg_matches_dot():
     """The Ozaki composite output leg (production TPU path: integer bf16
     slice products with exact f32 accumulation, two-sided balancing) must
-    agree with the f64 flat-dot path to ~1e-9 of scale — far below the
-    eta controller's tolerance floor (eabs 1e-7)."""
+    agree with the f64 flat-dot path to ~1e-12 of scale (exact int32
+    slice-product accumulation; the scales are exact powers of two built
+    by bit-casting — jnp.exp2 is ~1e-8 off for integer args)."""
     cfg_d = SolverConfig(nk=64, fft_mode="matmul", out_leg="dot",
                          tab_leg="dot")
     cfg_o = SolverConfig(nk=64, fft_mode="matmul", out_leg="ozaki",
@@ -95,10 +96,29 @@ def test_ozaki_out_leg_matches_dot():
             cfg_o, P_ext, with_rsd, "matmul",
             fastpt.engine_consts(cfg_o, "matmul"))
         scale = float(jnp.max(jnp.abs(out_d[0])))
-        assert float(jnp.max(jnp.abs(out_o[0] - out_d[0]))) < 2e-9 * scale
-        assert abs(float(out_o[1] - out_d[1])) < 2e-9 * max(scale, 1.0)
+        assert float(jnp.max(jnp.abs(out_o[0] - out_d[0]))) < 1e-10 * scale
+        assert abs(float(out_o[1] - out_d[1])) < 1e-10 * max(scale, 1.0)
         np.testing.assert_allclose(np.asarray(out_o[2]),
                                    np.asarray(out_d[2]), rtol=1e-12)
+
+
+def test_ozaki_q6_wide_grid():
+    """np = 8 nk pushes the output-leg contraction length to 2np = 2048,
+    where the exact-accumulation bound forces q = 6-bit slices and more
+    of them; the slice-count arithmetic must adapt."""
+    cfg_d = SolverConfig(nk=128, np_factor=8, fft_mode="matmul",
+                         out_leg="dot", tab_leg="dot")
+    cfg_o = SolverConfig(nk=128, np_factor=8, fft_mode="matmul",
+                         out_leg="ozaki", tab_leg="ozaki")
+    assert fastpt._oz_q(2 * cfg_o.npts) == 6
+    P_ext = _smooth_spectrum(cfg_d)
+    out_d = fastpt.compute_J_PZ_windowed(
+        cfg_d, P_ext, True, "matmul", fastpt.engine_consts(cfg_d, "matmul"))
+    out_o = fastpt.compute_J_PZ_windowed(
+        cfg_o, P_ext, True, "matmul", fastpt.engine_consts(cfg_o, "matmul"))
+    scale = float(jnp.max(jnp.abs(out_d[0])))
+    assert float(jnp.max(jnp.abs(out_o[0] - out_d[0]))) < 1e-10 * scale
+    assert abs(float(out_o[1] - out_d[1])) < 1e-10 * max(scale, 1.0)
 
 
 def test_windowed_fallback_slices_full_path():
