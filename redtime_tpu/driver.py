@@ -308,11 +308,13 @@ def _batch_size(tree) -> int:
 # batches fault the current TPU runtime (memory-adjacent).  Chunking also
 # pipelines host prepare with device solve: solves dispatch asynchronously,
 # so chunk i+1's host-side prepare overlaps chunk i's device execution.
-# Full-TRG mode (engine inside the RHS) hits an HBM-pressure cliff well
-# below 32 (measured: chunk 8 = 156/min solve-only, 16 = 144, 32 = 68);
-# the cheap 1-loop path prefers one big dispatch.
+# With the Ozaki MXU engine the full-TRG sweet spot moved from 8 to 16
+# (measured e2e at batch 32: chunk 8 = 1683/min, 12 = 1783, 16 = 2058,
+# 32 = 1544 — larger chunks amortize the per-iteration fixed costs until
+# lockstep waste and lost prep overlap take over); the cheap 1-loop path
+# prefers one big dispatch.
 DEFAULT_TPU_CHUNK = 32
-DEFAULT_TPU_CHUNK_FULL = 8
+DEFAULT_TPU_CHUNK_FULL = 16
 
 
 def _default_chunk(settings: RunSettings) -> int:
