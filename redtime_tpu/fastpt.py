@@ -299,6 +299,26 @@ def _oz_sa(q: int) -> int:
     return -(-56 // q)
 
 
+def _oz_pairs(sa: int, sb: int, cut: int) -> int:
+    return sum(len([i for i in range(sa) if 0 <= d - i < sb])
+               for d in range(cut + 1))
+
+
+def _oz_legs_fit(cfg: SolverConfig, budget_bytes: int = 10 ** 9) -> bool:
+    """The int8 diagonal packs scale as (pair count) x NFAM x 2np x (nk+1)
+    for the out leg plus (pair count) x np x 2np for the tab leg — ~80 MB
+    at nk=128 but ~4.4 GB at nk=512 (HIGH_ACCURACY), where they would
+    crowd HBM.  Large grids fall back to the emulated-f64 dots."""
+    K = 2 * cfg.npts
+    q = min(_oz_q(K), 7)
+    sa, sb = -(-56 // q), -(-53 // q)
+    out_b = _oz_pairs(sa, sb, max(sa, sb) - 1) * NFAM * K * (cfg.nk + 1)
+    qt = min(_oz_q(cfg.npts), 7)
+    sat = _oz_sa(qt)
+    tab_b = _oz_pairs(sat, -(-53 // qt), sat - 2) * cfg.npts * K
+    return out_b + tab_b <= budget_bytes
+
+
 @functools.lru_cache(maxsize=8)
 def _ozaki_out_consts(cfg: SolverConfig):
     """Composite per-family output matrices, Ozaki-split.
@@ -577,14 +597,14 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
             "oz_row": jnp.asarray(_ozaki_out_consts(cfg)[4])}
            if (use_matmul and cfg.conv_impl == "fft"
                and cfg.engine_transform_dtype == "float64"
-               and cfg.out_leg != "dot")
+               and cfg.out_leg != "dot" and _oz_legs_fit(cfg))
            else {}),
         **({"oz_b_diags": tuple(jnp.asarray(d)
                                 for d in _ozaki_tab_consts(cfg)[0]),
             "oz_b_scale": jnp.asarray(_ozaki_tab_consts(cfg)[1])}
            if (use_matmul and cfg.conv_impl == "fft"
                and cfg.engine_transform_dtype == "float64"
-               and cfg.tab_leg != "dot")
+               and cfg.tab_leg != "dot" and _oz_legs_fit(cfg))
            else {}))
 
 
