@@ -114,6 +114,14 @@ class SolverConfig:
     # 'dot' (one flat emulated-f64 matmul) or 'ozaki' (diagonal-grouped
     # int8 slice dots with exact int32 accumulation on the MXU, ~2x
     # faster at ~3e-13 relative accuracy); 'auto' = ozaki on TPU.
+    pz_leg: str = "auto"         # PZ Toeplitz-contraction implementation:
+    # 'dot' (emulated-f64 einsum) or 'ozaki' (diagonal-grouped int8 slice
+    # dots on the MXU).  The contraction cancels ~1e8 of operand scale
+    # PER ELEMENT, which defeats a column-only slice grid — but with
+    # TWO-SIDED balancing (a per-row power-of-two scale on the
+    # contraction dim folded into the activation, exact f64 multiplies)
+    # the int8 scheme reproduces the f64 einsum to ~1e-16 of the result
+    # maximum (scripts/probe_pz_ozaki.py).  'auto' = ozaki on TPU.
     conv_radix: int = 4          # radix of the split-DIT forward DFT on
     # the windowed output leg (matmul mode): the length-2np rfft of the
     # convolution product is computed as `conv_radix` interleaved

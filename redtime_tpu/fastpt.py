@@ -306,17 +306,21 @@ def _oz_pairs(sa: int, sb: int, cut: int) -> int:
 
 def _oz_legs_fit(cfg: SolverConfig, budget_bytes: int = 10 ** 9) -> bool:
     """The int8 diagonal packs scale as (pair count) x NFAM x 2np x (nk+1)
-    for the out leg plus (pair count) x np x 2np for the tab leg — ~80 MB
-    at nk=128 but ~4.4 GB at nk=512 (HIGH_ACCURACY), where they would
-    crowd HBM.  Large grids fall back to the emulated-f64 dots."""
+    for the out leg plus (pair count) x np x 2np for the tab leg and
+    (pair count) x np x 7nk for the PZ leg — ~100 MB at nk=128 but
+    several GB at nk=512 (HIGH_ACCURACY), where they would crowd HBM.
+    Large grids fall back to the emulated-f64 dots."""
     K = 2 * cfg.npts
     q = min(_oz_q(K), 7)
     sa, sb = -(-56 // q), -(-53 // q)
     out_b = _oz_pairs(sa, sb, max(sa, sb) - 1) * NFAM * K * (cfg.nk + 1)
     qt = min(_oz_q(cfg.npts), 7)
     sat = _oz_sa(qt)
-    tab_b = _oz_pairs(sat, -(-53 // qt), sat - 2) * cfg.npts * K
-    return out_b + tab_b <= budget_bytes
+    sbt = -(-53 // qt)
+    tab_b = _oz_pairs(sat, sbt, sat - 2) * cfg.npts * K
+    pz_b = _oz_pairs(sat, sbt, max(sat, sbt) - 1) * cfg.npts \
+        * NFAM_J * cfg.nk
+    return out_b + tab_b + pz_b <= budget_bytes
 
 
 @functools.lru_cache(maxsize=8)
@@ -450,6 +454,50 @@ def _ozaki_tab_consts(cfg: SolverConfig):
 
 
 @functools.lru_cache(maxsize=8)
+def _ozaki_pz_consts(cfg: SolverConfig):
+    """Diagonal-grouped int8 Ozaki slices of the windowed PZ Toeplitz
+    contraction conv[n,a,i] = sum_m T[n,i,m] P[a,m], flattened to
+    A[a,m] @ M[m, (n,i)].
+
+    The contraction cancels ~1e8 of its operand-product scale per
+    element, which defeats a column-only slice grid (measured 1.5e-5 of
+    the PZ maximum).  TWO-SIDED balancing fixes it: a per-row (per-m)
+    power-of-two scale rh folds into the activation (an exact f64
+    multiply), the sliced matrix M/rh is then balanced across rows and
+    the exact-int32 diagonal dots reproduce the f64 einsum to ~1e-16 of
+    the result maximum (scripts/probe_pz_ozaki.py).  Returns
+    (diags: tuple of [len_d*np, 7*nk] int8, col_scale e [1, 7*nk] f64,
+    row_scale rh [1, np] f64, sa, sb)."""
+    g = make_grids(cfg)
+    co = fastpt_coeffs(cfg)
+    npts, nk = g.npts, g.nk
+    T_sl = np.asarray(co.toeplitz[:, g.nshift:g.nshift + nk, :])
+    M = T_sl.transpose(2, 0, 1).reshape(npts, NFAM_J * nk)
+    q = min(_oz_q(npts), 7)
+    sa = _oz_sa(q)
+    sb = -(-53 // q)
+    rmx = np.abs(M).max(axis=1, keepdims=True)
+    rh = 2.0 ** np.round(np.log2(np.where(rmx > 0, rmx, 1.0)))
+    Mb = M / rh
+    mx = np.abs(Mb).max(axis=0, keepdims=True)
+    e = 2.0 ** (np.floor(np.log2(np.maximum(mx, 1e-300))) + 2)
+    r = Mb / e
+    sl = []
+    for j in range(sb):
+        t = np.round(r * 2.0 ** (q * (j + 1)))
+        sl.append(t.astype(np.int8))
+        r = r - t / 2.0 ** (q * (j + 1))
+    cut = max(sa, sb) - 1
+    diags = []
+    for d in range(cut + 1):
+        js = [d - i for i in range(sa) if 0 <= d - i < sb]
+        if not js:
+            break
+        diags.append(np.concatenate([sl[j] for j in js], axis=0))
+    return tuple(diags), e, rh.reshape(1, npts), sa, sb
+
+
+@functools.lru_cache(maxsize=8)
 def _radix_consts(cfg: SolverConfig):
     """Split-DIT constants for the output-leg forward rfft (length n=2np,
     radix r): the subsequence forward matrix [m, 2(m/2+1)] (m = n/r, re|im
@@ -542,6 +590,11 @@ class EngineConsts(NamedTuple):
     oz_row: object = None         # [NFAM, 1, 1, 2np] f64 row balancing
     oz_b_diags: object = None     # tuple of [len_d*K, 2np] int8 diagonals
     oz_b_scale: object = None     # [1, 2np] f64 column scales
+    # Ozaki PZ Toeplitz leg (pz_leg 'ozaki'/'auto'): two-sided-balanced
+    # int8 diagonal slices of the windowed Toeplitz contraction
+    oz_t_diags: object = None     # tuple of [len_d*np, 7*nk] int8
+    oz_t_scale: object = None     # [1, 7*nk] f64 column scales
+    oz_t_row: object = None       # [1, np] f64 row scales (fold into P)
 
 
 
@@ -605,6 +658,14 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
            if (use_matmul and cfg.conv_impl == "fft"
                and cfg.engine_transform_dtype == "float64"
                and cfg.tab_leg != "dot" and _oz_legs_fit(cfg))
+           else {}),
+        **({"oz_t_diags": tuple(jnp.asarray(d)
+                                for d in _ozaki_pz_consts(cfg)[0]),
+            "oz_t_scale": jnp.asarray(_ozaki_pz_consts(cfg)[1]),
+            "oz_t_row": jnp.asarray(_ozaki_pz_consts(cfg)[2])}
+           if (use_matmul and cfg.conv_impl == "fft"
+               and cfg.engine_transform_dtype == "float64"
+               and cfg.pz_leg != "dot" and _oz_legs_fit(cfg))
            else {}))
 
 
@@ -996,11 +1057,37 @@ def compute_J_PZ_windowed(cfg: SolverConfig, P_ext: jnp.ndarray,
 def _pz_windowed(cfg: SolverConfig, ec: EngineConsts, P_e, g, nk):
     """PZ on the solver window: Toeplitz contraction x P_e outer factor.
 
-    Stays an f64 contraction deliberately: the Z-kernel Toeplitz rows
-    cancel ~1e8 of the operand scale against a smooth spectrum (the
-    reference's own f64 brute-force conv carries the same conditioning),
-    so an operand-scale Ozaki slicing cannot reach the f64 result —
-    measured 1.5e-5 of the PZ maximum, vs 7e-13 for the J legs."""
+    The contraction cancels ~1e8 of the operand scale per element
+    against a smooth spectrum (the reference's own f64 brute-force conv
+    carries the same conditioning), which defeats a column-only Ozaki
+    slice grid (measured 1.5e-5 of the PZ maximum).  With TWO-SIDED
+    balancing — a per-row power-of-two scale on the contraction dim
+    folded into the activation as an exact f64 multiply — the int8
+    diagonal scheme reproduces the f64 einsum to ~1e-16 of the result
+    maximum (scripts/probe_pz_ozaki.py), so the pz_leg='ozaki' path runs
+    it on the MXU like the J legs."""
     sl = slice(g.nshift, g.nshift + nk)
-    conv = jnp.einsum("nim,am->nai", ec.toeplitz_sl, P_e)
+    pleg = cfg.pz_leg
+    if pleg == "auto":
+        pleg = "ozaki" if _target_platform() == "tpu" else "dot"
+    if pleg == "ozaki" and ec.oz_t_diags is not None:
+        npts = g.npts
+        q = min(_oz_q(npts), 7)
+        sa = _oz_sa(q)
+        sb = -(-53 // q)
+        xsl, xe = _oz_split_rows(P_e * ec.oz_t_row, q, sa)  # [sa, 3, np]
+        x8 = xsl.astype(jnp.int8)
+        tot = jnp.zeros((3, NFAM_J * nk), P_e.dtype)
+        for d, rhs in enumerate(ec.oz_t_diags):
+            iis = [i for i in range(sa) if 0 <= d - i < sb]
+            lhs = jnp.concatenate([x8[i] for i in iis], axis=-1)
+            o = jax.lax.dot_general(
+                lhs, rhs, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.int32)
+            tot = tot + o.astype(P_e.dtype) * (2.0 ** (-q * (d + 2)))
+        conv = (tot * xe * ec.oz_t_scale).reshape(3, NFAM_J, nk)
+        conv = jnp.transpose(conv, (1, 0, 2))               # [7, 3, nk]
+    else:
+        conv = jnp.einsum("nim,am->nai", ec.toeplitz_sl, P_e)
     return ec.pz_kfac_sl * conv[:, :, None, :] * P_e[None, None, :, sl]

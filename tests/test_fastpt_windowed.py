@@ -102,6 +102,29 @@ def test_ozaki_out_leg_matches_dot():
                                    np.asarray(out_d[2]), rtol=1e-12)
 
 
+def test_ozaki_pz_leg_matches_dot():
+    """The two-sided-balanced int8 PZ Toeplitz leg must agree with the
+    f64 einsum to ~1e-14 of the PZ maximum: the contraction cancels ~1e8
+    of operand scale per element, so this is exactly the case a
+    column-only slice grid fails (1.5e-5 of max) and the per-row
+    activation-folded balancing fixes (scripts/probe_pz_ozaki.py)."""
+    cfg_d = SolverConfig(nk=64, fft_mode="matmul", pz_leg="dot")
+    cfg_o = SolverConfig(nk=64, fft_mode="matmul", pz_leg="ozaki")
+    P_ext = _smooth_spectrum(cfg_d)
+    for with_rsd in (True, False):
+        PZ_d = fastpt.compute_J_PZ_windowed(
+            cfg_d, P_ext, with_rsd, "matmul",
+            fastpt.engine_consts(cfg_d, "matmul"))[2]
+        PZ_o = fastpt.compute_J_PZ_windowed(
+            cfg_o, P_ext, with_rsd, "matmul",
+            fastpt.engine_consts(cfg_o, "matmul"))[2]
+        scale = float(jnp.max(jnp.abs(PZ_d)))
+        assert float(jnp.max(jnp.abs(PZ_o - PZ_d))) < 1e-13 * scale
+        # elementwise: the balanced scheme tracks small elements too
+        np.testing.assert_allclose(np.asarray(PZ_o), np.asarray(PZ_d),
+                                   rtol=1e-6, atol=1e-14 * scale)
+
+
 def test_ozaki_q6_wide_grid():
     """np = 8 nk pushes the output-leg contraction length to 2np = 2048,
     where the exact-accumulation bound forces q = 6-bit slices and more
