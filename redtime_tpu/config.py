@@ -114,6 +114,11 @@ class SolverConfig:
     # 'dot' (one flat emulated-f64 matmul) or 'ozaki' (diagonal-grouped
     # int8 slice dots with exact int32 accumulation on the MXU, ~2x
     # faster at ~3e-13 relative accuracy); 'auto' = ozaki on TPU.
+    fwd_leg: str = "auto"        # forward-stage implementation: 'dot'
+    # (emulated-f64 dots for the Pab extension and the windowed forward
+    # transform) or 'ozaki' (generic diagonal-grouped int8 packs — the
+    # dropped slice pairs weigh ~2^-77 of operand scale, below the f64
+    # dots' own rounding).  'auto' = ozaki on TPU.
     pz_leg: str = "auto"         # PZ Toeplitz-contraction implementation:
     # 'dot' (emulated-f64 einsum) or 'ozaki' (diagonal-grouped int8 slice
     # dots on the MXU).  The contraction cancels ~1e8 of operand scale

@@ -320,7 +320,12 @@ def _oz_legs_fit(cfg: SolverConfig, budget_bytes: int = 10 ** 9) -> bool:
     tab_b = _oz_pairs(sat, sbt, sat - 2) * cfg.npts * K
     pz_b = _oz_pairs(sat, sbt, max(sat, sbt) - 1) * cfg.npts \
         * NFAM_J * cfg.nk
-    return out_b + tab_b + pz_b <= budget_bytes
+    qe = min(_oz_q(cfg.nk), 7)
+    ext_b = _oz_pairs(_oz_sa(qe), -(-53 // qe),
+                      max(_oz_sa(qe), -(-53 // qe)) - 1) \
+        * cfg.nk * cfg.npts
+    fwd_b = _oz_pairs(sat, sbt, max(sat, sbt) - 1) * cfg.npts * cfg.npts
+    return out_b + tab_b + pz_b + ext_b + fwd_b <= budget_bytes
 
 
 @functools.lru_cache(maxsize=8)
@@ -453,27 +458,18 @@ def _ozaki_tab_consts(cfg: SolverConfig):
     return tuple(diags), e, sa, sb, cut
 
 
-@functools.lru_cache(maxsize=8)
-def _ozaki_pz_consts(cfg: SolverConfig):
-    """Diagonal-grouped int8 Ozaki slices of the windowed PZ Toeplitz
-    contraction conv[n,a,i] = sum_m T[n,i,m] P[a,m], flattened to
-    A[a,m] @ M[m, (n,i)].
-
-    The contraction cancels ~1e8 of its operand-product scale per
-    element, which defeats a column-only slice grid (measured 1.5e-5 of
-    the PZ maximum).  TWO-SIDED balancing fixes it: a per-row (per-m)
-    power-of-two scale rh folds into the activation (an exact f64
-    multiply), the sliced matrix M/rh is then balanced across rows and
-    the exact-int32 diagonal dots reproduce the f64 einsum to ~1e-16 of
-    the result maximum (scripts/probe_pz_ozaki.py).  Returns
-    (diags: tuple of [len_d*np, 7*nk] int8, col_scale e [1, 7*nk] f64,
-    row_scale rh [1, np] f64, sa, sb)."""
-    g = make_grids(cfg)
-    co = fastpt_coeffs(cfg)
-    npts, nk = g.npts, g.nk
-    T_sl = np.asarray(co.toeplitz[:, g.nshift:g.nshift + nk, :])
-    M = T_sl.transpose(2, 0, 1).reshape(npts, NFAM_J * nk)
-    q = min(_oz_q(npts), 7)
+def _oz_pack_np(M: np.ndarray, cut: int | None = None):
+    """Generic diagonal-grouped int8 Ozaki pack of a static matrix
+    M [K, O] with TWO-SIDED balancing: a per-row (contraction-dim)
+    power-of-two scale rh folds into the ACTIVATION at apply time (an
+    exact f64 multiply), so the sliced matrix M/rh is balanced across
+    rows and per-element cancellation in the contraction is absorbed by
+    the exact-int32 accumulation instead of being truncated away
+    (scripts/probe_pz_ozaki.py).  Returns (diags tuple of
+    [len_d*K, O] int8, col_scale e [1, O] f64, row_scale rh [1, K] f64,
+    q, sa, sb)."""
+    K = M.shape[0]
+    q = min(_oz_q(K), 7)
     sa = _oz_sa(q)
     sb = -(-53 // q)
     rmx = np.abs(M).max(axis=1, keepdims=True)
@@ -487,14 +483,69 @@ def _ozaki_pz_consts(cfg: SolverConfig):
         t = np.round(r * 2.0 ** (q * (j + 1)))
         sl.append(t.astype(np.int8))
         r = r - t / 2.0 ** (q * (j + 1))
-    cut = max(sa, sb) - 1
+    if cut is None:
+        cut = max(sa, sb) - 1
     diags = []
     for d in range(cut + 1):
         js = [d - i for i in range(sa) if 0 <= d - i < sb]
         if not js:
             break
         diags.append(np.concatenate([sl[j] for j in js], axis=0))
-    return tuple(diags), e, rh.reshape(1, npts), sa, sb
+    return tuple(diags), e, rh.reshape(1, K), q, sa, sb
+
+
+def _oz_dot(x, diags, e, rh, q: int, sa: int, sb: int):
+    """x [..., K] @ M -> [..., O] through a generic diagonal-grouped
+    int8 pack from _oz_pack_np.  The per-row scale rh folds into the
+    activation exactly; every diagonal is one int8 MXU dot with exact
+    int32 accumulation."""
+    shape = x.shape[:-1]
+    K = x.shape[-1]
+    xsl, xe = _oz_split_rows(x * rh.reshape((1,) * len(shape) + (K,)),
+                             q, sa)
+    x8 = xsl.astype(jnp.int8).reshape(sa, -1, K)
+    tot = None
+    for d, rhs in enumerate(diags):
+        iis = [i for i in range(sa) if 0 <= d - i < sb]
+        lhs = jnp.concatenate([x8[i] for i in iis], axis=-1)
+        o = jax.lax.dot_general(
+            lhs, rhs, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.int32)
+        c = o.astype(x.dtype) * (2.0 ** (-q * (d + 2)))
+        tot = c if tot is None else tot + c
+    O = diags[0].shape[1]
+    return (tot * e).reshape(shape + (O,)) * xe
+
+
+@functools.lru_cache(maxsize=8)
+def _ozaki_pz_consts(cfg: SolverConfig):
+    """Ozaki pack of the windowed PZ Toeplitz contraction
+    conv[n,a,i] = sum_m T[n,i,m] P[a,m], flattened to A[a,m] @
+    M[m, (n,i)].  The contraction cancels ~1e8 of its operand-product
+    scale per element, which defeats a column-only slice grid (measured
+    1.5e-5 of the PZ maximum); the two-sided balancing of _oz_pack_np
+    reproduces the f64 einsum to ~1e-16 of the result maximum."""
+    g = make_grids(cfg)
+    co = fastpt_coeffs(cfg)
+    npts, nk = g.npts, g.nk
+    T_sl = np.asarray(co.toeplitz[:, g.nshift:g.nshift + nk, :])
+    M = T_sl.transpose(2, 0, 1).reshape(npts, NFAM_J * nk)
+    return _oz_pack_np(M)
+
+
+@functools.lru_cache(maxsize=8)
+def _ozaki_fwd_consts(cfg: SolverConfig):
+    """Ozaki packs for the forward stage: the Pab extension dot
+    (lnP [3, nk] @ pab_M.T [nk, np]) and the windowed forward transform
+    ((P_e kbias) [3, np] @ dft_fwd_half [np, 2*half]).  Both are plain
+    f64 dots on the element-traffic-bound emulated path; the int8
+    diagonal scheme reproduces them below the f64 dots' own rounding
+    (dropped pairs weigh ~2^-77 of operand scale vs the dot's 2^-53)."""
+    g = make_grids(cfg)
+    M, _ = _pab_ext(cfg)                      # [npts, nk], used as lnP @ M.T
+    fwd = _half_leg_consts(cfg)[0]            # [np, 2*half]
+    return _oz_pack_np(np.asarray(M).T), _oz_pack_np(np.asarray(fwd))
 
 
 @functools.lru_cache(maxsize=8)
@@ -595,6 +646,14 @@ class EngineConsts(NamedTuple):
     oz_t_diags: object = None     # tuple of [len_d*np, 7*nk] int8
     oz_t_scale: object = None     # [1, 7*nk] f64 column scales
     oz_t_row: object = None       # [1, np] f64 row scales (fold into P)
+    # Ozaki forward stage (fwd_leg 'ozaki'/'auto'): Pab extension dot and
+    # windowed forward transform as generic int8 diagonal packs
+    oz_e_diags: object = None     # ext: tuple of [len_d*nk, np] int8
+    oz_e_scale: object = None     # [1, np]
+    oz_e_row: object = None       # [1, nk]
+    oz_f_diags: object = None     # fwd: tuple of [len_d*np, 2*half] int8
+    oz_f_scale: object = None     # [1, 2*half]
+    oz_f_row: object = None       # [1, np]
 
 
 
@@ -666,7 +725,26 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
            if (use_matmul and cfg.conv_impl == "fft"
                and cfg.engine_transform_dtype == "float64"
                and cfg.pz_leg != "dot" and _oz_legs_fit(cfg))
+           else {}),
+        **({"oz_e_diags": tuple(jnp.asarray(d)
+                                for d in _ozaki_fwd_consts(cfg)[0][0]),
+            "oz_e_scale": jnp.asarray(_ozaki_fwd_consts(cfg)[0][1]),
+            "oz_e_row": jnp.asarray(_ozaki_fwd_consts(cfg)[0][2]),
+            "oz_f_diags": tuple(jnp.asarray(d)
+                                for d in _ozaki_fwd_consts(cfg)[1][0]),
+            "oz_f_scale": jnp.asarray(_ozaki_fwd_consts(cfg)[1][1]),
+            "oz_f_row": jnp.asarray(_ozaki_fwd_consts(cfg)[1][2])}
+           if (use_matmul and cfg.conv_impl == "fft"
+               and cfg.engine_transform_dtype == "float64"
+               and cfg.fwd_leg != "dot" and _oz_legs_fit(cfg))
            else {}))
+
+
+def _fwd_leg_resolved(cfg: SolverConfig) -> str:
+    leg = cfg.fwd_leg
+    if leg == "auto":
+        leg = "ozaki" if _target_platform() == "tpu" else "dot"
+    return leg
 
 
 def extend_power(cfg: SolverConfig, lnP3: jnp.ndarray, n_s,
@@ -679,8 +757,14 @@ def extend_power(cfg: SolverConfig, lnP3: jnp.ndarray, n_s,
         M, v, wp = jnp.asarray(M), jnp.asarray(v), jnp.asarray(g.wp)
     else:
         M, v, wp = ec.pab_M, ec.pab_v, ec.wp
-    with jax.default_matmul_precision("highest"):
-        lnP_ext = lnP3 @ M.T + (n_s - 3.0) * v
+    if (ec is not None and ec.oz_e_diags is not None
+            and _fwd_leg_resolved(cfg) == "ozaki"):
+        q = min(_oz_q(cfg.nk), 7)
+        lnP_ext = _oz_dot(lnP3, ec.oz_e_diags, ec.oz_e_scale, ec.oz_e_row,
+                          q, _oz_sa(q), -(-53 // q)) + (n_s - 3.0) * v
+    else:
+        with jax.default_matmul_precision("highest"):
+            lnP_ext = lnP3 @ M.T + (n_s - 3.0) * v
     return jnp.exp(lnP_ext) * wp
 
 
@@ -937,7 +1021,13 @@ def compute_J_PZ_windowed(cfg: SolverConfig, P_ext: jnp.ndarray,
     P_e = P_ext.astype(ec.kbias.dtype)
     with jax.default_matmul_precision("highest"):
         # forward + coefficient window in one dot; re|im stacked on columns
-        ci = (P_e * ec.kbias) @ ec.dft_fwd_half       # [3, 2*half]
+        if (ec.oz_f_diags is not None
+                and _fwd_leg_resolved(cfg) == "ozaki"):
+            qf = min(_oz_q(npts), 7)
+            ci = _oz_dot(P_e * ec.kbias, ec.oz_f_diags, ec.oz_f_scale,
+                         ec.oz_f_row, qf, _oz_sa(qf), -(-53 // qf))
+        else:
+            ci = (P_e * ec.kbias) @ ec.dft_fwd_half   # [3, 2*half]
         ca_re, ca_im = ci[:, :half], ci[:, half:]
 
         def coeff(gr, gi):
@@ -1071,23 +1161,11 @@ def _pz_windowed(cfg: SolverConfig, ec: EngineConsts, P_e, g, nk):
     if pleg == "auto":
         pleg = "ozaki" if _target_platform() == "tpu" else "dot"
     if pleg == "ozaki" and ec.oz_t_diags is not None:
-        npts = g.npts
-        q = min(_oz_q(npts), 7)
-        sa = _oz_sa(q)
-        sb = -(-53 // q)
-        xsl, xe = _oz_split_rows(P_e * ec.oz_t_row, q, sa)  # [sa, 3, np]
-        x8 = xsl.astype(jnp.int8)
-        tot = jnp.zeros((3, NFAM_J * nk), P_e.dtype)
-        for d, rhs in enumerate(ec.oz_t_diags):
-            iis = [i for i in range(sa) if 0 <= d - i < sb]
-            lhs = jnp.concatenate([x8[i] for i in iis], axis=-1)
-            o = jax.lax.dot_general(
-                lhs, rhs, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.int32)
-            tot = tot + o.astype(P_e.dtype) * (2.0 ** (-q * (d + 2)))
-        conv = (tot * xe * ec.oz_t_scale).reshape(3, NFAM_J, nk)
-        conv = jnp.transpose(conv, (1, 0, 2))               # [7, 3, nk]
+        q = min(_oz_q(g.npts), 7)
+        conv = _oz_dot(P_e, ec.oz_t_diags, ec.oz_t_scale, ec.oz_t_row,
+                       q, _oz_sa(q), -(-53 // q))
+        conv = jnp.transpose(conv.reshape(3, NFAM_J, nk),
+                             (1, 0, 2))                     # [7, 3, nk]
     else:
         conv = jnp.einsum("nim,am->nai", ec.toeplitz_sl, P_e)
     return ec.pz_kfac_sl * conv[:, :, None, :] * P_e[None, None, :, sl]

@@ -61,6 +61,24 @@ def axis_weights(nodes: jnp.ndarray, x):
     return i0, jnp.where(cubic, wc, wl)
 
 
+def axis_weights_full(nodes: jnp.ndarray, x):
+    """axis_weights spread over the FULL node axis: w_full [len(nodes)]
+    with w_full[i0:i0+4] = w and zeros elsewhere.
+
+    Turns a traced-point table lookup into `w_full @ values` — a tiny
+    matmul instead of a dynamic_slice/gather.  XLA:TPU lowers f64
+    gathers (what a vmapped dynamic_slice becomes) pathologically
+    (docs/TPU_NOTES.md); the one-hot contraction is element-traffic
+    bound and ~30x cheaper in the RHS hot loop.  Exact: the extra terms
+    are +0.0 against finite table values."""
+    nodes = jnp.asarray(nodes)
+    i0, w = axis_weights(nodes, x)
+    idx = i0 + jnp.arange(4)
+    oh = (jnp.arange(nodes.shape[0])[None, :]
+          == idx[:, None]).astype(nodes.dtype)          # [4, nn]
+    return w @ oh
+
+
 def interp1(nodes: jnp.ndarray, values: jnp.ndarray, x):
     """tabulated_function::f(x) for scalar traced x."""
     i0, w = axis_weights(nodes, x)

@@ -127,10 +127,8 @@ def beta_raw_at_a(beta_a, beta_cols, a):
     rules; linear extrapolation below the first node).  a must already obey
     the reference clamps.  Returns beta/f_nu values, shape beta_cols.shape[1:].
     """
-    i0, w = interp.axis_weights(beta_a, a)
-    starts = (i0,) + (jnp.zeros_like(i0),) * (beta_cols.ndim - 1)
-    block = jax.lax.dynamic_slice(beta_cols, starts, (4,) + beta_cols.shape[1:])
-    return jnp.tensordot(w, block, axes=1)
+    w = interp.axis_weights_full(beta_a, a)
+    return jnp.tensordot(w, beta_cols, axes=1)
 
 
 def beta_P_solver(model: Model, a):
@@ -368,12 +366,9 @@ def growth_D_f(model: Model, z):
     """D(z, k) and dD/da(z, k) on the solver grid (reference :727-730)."""
     a = 1.0 / (1.0 + z)
     lna0 = jnp.log(a)
-    i0, wx = interp.axis_weights(model.g_lna, lna0)
-    z0 = jnp.zeros_like(i0)
-    Gv = wx @ jax.lax.dynamic_slice(model.g_G, (i0, z0),
-                                    (4, model.g_G.shape[1]))
-    dDv = wx @ jax.lax.dynamic_slice(model.g_dDda, (i0, z0),
-                                     (4, model.g_dDda.shape[1]))
+    wx = interp.axis_weights_full(model.g_lna, lna0)
+    Gv = wx @ model.g_G
+    dDv = wx @ model.g_dDda
     D = Gv * a / model.g_Dnorm
     dDda = dDv / model.g_Dnorm
     return D, dDda

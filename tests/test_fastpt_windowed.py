@@ -125,6 +125,40 @@ def test_ozaki_pz_leg_matches_dot():
                                    rtol=1e-6, atol=1e-14 * scale)
 
 
+def test_ozaki_fwd_leg_matches_dot():
+    """The int8 forward stage (Pab extension dot + windowed forward
+    transform) must agree with the f64 dots below their own rounding:
+    the extension feeds exp(), so errors are relative on the spectrum."""
+    cfg_d = SolverConfig(nk=64, fft_mode="matmul", fwd_leg="dot")
+    cfg_o = SolverConfig(nk=64, fft_mode="matmul", fwd_leg="ozaki")
+    k = np.logspace(np.log10(cfg_d.kmin), np.log10(cfg_d.kmax), cfg_d.nk)
+    q = k / 0.2
+    T = (np.log(1 + 2.34 * q) / (2.34 * q)
+         * (1 + 3.89 * q + (16.1 * q) ** 2 + (5.46 * q) ** 3
+            + (6.71 * q) ** 4) ** -0.25)
+    P = 2e4 * k ** 0.96 * T ** 2
+    lnP3 = jnp.asarray(np.log(np.stack([P, 0.9 * P, 0.81 * P])))
+    ec_o = fastpt.engine_consts(cfg_o, "matmul")
+    Pe_d = fastpt.extend_power(cfg_d, lnP3, 0.96,
+                               fastpt.engine_consts(cfg_d, "matmul"))
+    Pe_o = fastpt.extend_power(cfg_o, lnP3, 0.96, ec_o)
+    # the extension's extrapolation weights reach ~1e2, so the dropped
+    # slice pairs land ~7e-12 relative (vs ~1e-13 for the f64 dot's own
+    # rounding) — far below the J legs' 1e-10 bar and the controller's
+    # 1e-7 absolute tolerance
+    np.testing.assert_allclose(np.asarray(Pe_o), np.asarray(Pe_d),
+                               rtol=2e-11)
+    for with_rsd in (True, False):
+        out_d = fastpt.compute_J_PZ_windowed(
+            cfg_d, Pe_d, with_rsd, "matmul",
+            fastpt.engine_consts(cfg_d, "matmul"))
+        out_o = fastpt.compute_J_PZ_windowed(
+            cfg_o, Pe_d, with_rsd, "matmul", ec_o)
+        scale = float(jnp.max(jnp.abs(out_d[0])))
+        assert float(jnp.max(jnp.abs(out_o[0] - out_d[0]))) < 1e-10 * scale
+        assert abs(float(out_o[1] - out_d[1])) < 1e-10 * max(scale, 1.0)
+
+
 def test_ozaki_q6_wide_grid():
     """np = 8 nk pushes the output-leg contraction length to 2np = 2048,
     where the exact-accumulation bound forces q = 6-bit slices and more
