@@ -132,6 +132,33 @@ def _omega_contraction_mats():
 OMEGA_MATS = _omega_contraction_mats()
 
 
+def _omega_bilinear_mats():
+    """The Omega contractions collapsed to ONE bilinear form per state
+    block: t[j] = sum_b (QI@Of)[b,j] (PI@I)[b,j] is bilinear in (Of, I),
+    so it equals CI[j] . (Of x I) with CI[j, g*nI+s] =
+    sum_b QI_b[j,g] PI_b[j,s] precomputed.  One [nJ, 4*nI] @ [4*nI, nk]
+    dot replaces four dots + product + 6-block reduce (the element
+    traffic through the emulated-f64 dot path is ~3x lower, and the op
+    count in the hot loop drops from ~8 kernels to 3).
+
+    Returns (CI [14, 56], CQ [24, 96])."""
+    PI, QI, TR14, PQ, QQ = OMEGA_MATS
+
+    def collapse(Qm, Pm, nJ):
+        nB = Qm.shape[0] // nJ
+        C = np.zeros((nJ, Qm.shape[1] * Pm.shape[1]))
+        for b in range(nB):
+            Qb = Qm[b * nJ:(b + 1) * nJ]
+            Pb = Pm[b * nJ:(b + 1) * nJ]
+            C += np.einsum("jg,js->jgs", Qb, Pb).reshape(nJ, -1)
+        return C
+
+    return collapse(QI, PI, 14), collapse(QQ, PQ, 24)
+
+
+OMEGA_BILINEAR = _omega_bilinear_mats()
+
+
 def _uniq_sel() -> np.ndarray:
     S = np.zeros((14, 64))
     for j, s in enumerate(JU):

@@ -140,14 +140,17 @@ def make_rhs(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
         P = jnp.exp(lnP)                             # P00, P01, P11
 
         if nonlinear:
-            # Omega contractions as stacked one-hot matmuls on flat
-            # [rows, nk] arrays: the six-axis [2,...,2,nk] einsum
-            # formulation lowers to tiny-tile code on TPU and costs ~25x
-            # more (docs/TPU_NOTES.md); the matrices fold in the
+            # Omega contractions as ONE bilinear-form matmul per state
+            # block: the six-axis [2,...,2,nk] einsum formulation lowers
+            # to tiny-tile code on TPU (~25x, docs/TPU_NOTES.md), and
+            # even the stacked one-hot product-sum pays 4 dots + a
+            # 6-block reduce per eval; CI/CQ contract the outer product
+            # (Of x I) in a single flat dot.  The matrices fold in the
             # symmetry scatter and the unique-row selection, so the
             # 64-slot array is never materialized.
-            PI, QI, TR14, PQm, QQm = (
-                jnp.asarray(m, dtype=jdt) for m in assembly.OMEGA_MATS)
+            CI, CQ = (jnp.asarray(m, dtype=jdt)
+                      for m in assembly.OMEGA_BILINEAR)
+            TR14 = jnp.asarray(assembly.OMEGA_MATS[2], dtype=jdt)
             I14 = y[NUP:NUP + NUI]
             if settings.one_loop:
                 A64, R, _, _ = oneloop_rescale(cfg, settings, model, cache,
@@ -182,14 +185,17 @@ def make_rhs(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
                 [dlnP, jnp.zeros((NUI + NUQ, nk), dtype=jdt)]).reshape(-1)
 
         # --- dI (reference :1500-1513): the three Omega x I index
-        # contractions, restricted to the 14 unique rows
-        t = ((QI @ Of) * (PI @ I14)).reshape(6, NUI, nk).sum(axis=0)
+        # contractions, restricted to the 14 unique rows — one bilinear
+        # dot against the (Of x I14) outer product
+        OI = (Of[:, None, :] * I14[None, :, :]).reshape(4 * NUI, nk)
+        t = CI @ OI
         dI = 2.0 * e_eta * A_u - t
 
         # --- dQ (reference :1516-1539)
         if evolve_q:
             Q24 = y[NUP + NUI:]
-            qt = ((QQm @ Of) * (PQm @ Q24)).reshape(6, NUQ, nk).sum(axis=0)
+            OQ = (Of[:, None, :] * Q24[None, :, :]).reshape(4 * NUQ, nk)
+            qt = CQ @ OQ
             dQ = 2.0 * e_eta * R.reshape(NUQ, nk) - qt
         else:
             dQ = jnp.zeros((NUQ, nk), dtype=jdt)

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Bisect the one-dispatch batch-size fault (full-TRG, f64, nk=128).
+
+Batches > 32 in a SINGLE device dispatch have faulted the axon TPU
+runtime (memory-adjacent; chunking works around it).  This probe runs
+solve-only at increasing batch sizes in fresh subprocesses (a faulted
+worker can wedge the tunnel for the parent), recording the largest OK
+and smallest failing batch, plus the failure text — the committed
+artifact for an upstream report.
+
+Usage: python scripts/probe_batch_fault.py [--sizes 32,40,48,64]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+CHILD = r"""
+import sys, time
+sys.path.insert(0, %(repo)r)
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", %(repo)r + "/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+from __graft_entry__ import _cosmo, _example_inputs
+from redtime_tpu import driver
+from redtime_tpu.config import RunSettings, SolverConfig
+
+B = %(batch)d
+Z_OUT = (2.02, 1.61, 1.01, 0.66, 0.43, 0.24, 0.10, 0.0)
+mode = "matmul" if jax.default_backend() == "tpu" else "fft"
+cfg = SolverConfig(fft_mode=mode)
+settings = RunSettings(one_loop=False, z_out=Z_OUT)
+lin = _example_inputs(cfg)
+cosmos = jax.tree_util.tree_map(
+    lambda *xs: jnp.stack(xs), *[_cosmo(i) for i in range(B)])
+lins = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *([lin] * B))
+cpu = jax.devices("cpu")[0]
+with jax.default_device(cpu):
+    ms = driver._jitted_prepare(cfg, True)(
+        jax.device_put(cosmos, cpu), jax.device_put(lins, cpu))
+    jax.block_until_ready(ms)
+dev = jax.devices()[0]
+ms = jax.device_put(ms, dev)
+t0 = time.time()
+res = driver._jitted_solve(cfg, settings, mode, True)(
+    ms, driver._device_ec(cfg, mode, dev))
+res.table.block_until_ready()
+bad = driver.finite_report(res)
+print(f"OK batch={B} solve={time.time()-t0:.1f}s nonfinite={list(bad)}")
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="32,36,40,48,64")
+    ap.add_argument("--timeout", type=int, default=1800)
+    args = ap.parse_args()
+    results = {}
+    for b in [int(s) for s in args.sizes.split(",")]:
+        code = CHILD % {"repo": REPO, "batch": b}
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=args.timeout)
+            tail = (r.stdout + r.stderr).strip().splitlines()[-8:]
+            results[b] = {"rc": r.returncode, "tail": tail}
+            print(f"batch {b}: rc={r.returncode}  "
+                  f"{tail[-1] if tail else ''}", flush=True)
+        except subprocess.TimeoutExpired:
+            results[b] = {"rc": None, "tail": ["TIMEOUT"]}
+            print(f"batch {b}: TIMEOUT", flush=True)
+        if results[b]["rc"] not in (0,):
+            break            # a faulted worker may wedge the tunnel
+    out = os.path.join(REPO, "docs", "batch_fault_probe.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -206,3 +206,27 @@ def test_r_against_reference_expressions(random_inputs):
         for j in range(8):
             assert np.allclose(got[ell, j], oracle[ell, j], rtol=1e-12), \
                 (ell, j)
+
+
+def test_omega_bilinear_equals_stacked_onehot():
+    """The collapsed bilinear matrices (one dot against the Of x I outer
+    product) must reproduce the stacked one-hot product-sum formulation
+    of the RHS Omega contractions exactly (both restate reference
+    redTime.cc:1500-1539)."""
+    from redtime_tpu import assembly
+
+    rng = np.random.default_rng(7)
+    nk = 16
+    Of = rng.standard_normal((4, nk))
+    I14 = rng.standard_normal((14, nk))
+    Q24 = rng.standard_normal((24, nk))
+    PI, QI, TR14, PQ, QQ = assembly.OMEGA_MATS
+    CI, CQ = assembly.OMEGA_BILINEAR
+
+    t_ref = ((QI @ Of) * (PI @ I14)).reshape(6, 14, nk).sum(axis=0)
+    t_new = CI @ (Of[:, None, :] * I14[None, :, :]).reshape(4 * 14, nk)
+    np.testing.assert_allclose(t_new, t_ref, rtol=1e-13, atol=1e-13)
+
+    q_ref = ((QQ @ Of) * (PQ @ Q24)).reshape(6, 24, nk).sum(axis=0)
+    q_new = CQ @ (Of[:, None, :] * Q24[None, :, :]).reshape(4 * 24, nk)
+    np.testing.assert_allclose(q_new, q_ref, rtol=1e-13, atol=1e-13)
