@@ -49,12 +49,19 @@ with jax.default_device(cpu):
     jax.block_until_ready(ms)
 dev = jax.devices()[0]
 ms = jax.device_put(ms, dev)
+sv = driver._jitted_solve(cfg, settings, mode, True)
+ec = driver._device_ec(cfg, mode, dev)
 t0 = time.time()
-res = driver._jitted_solve(cfg, settings, mode, True)(
-    ms, driver._device_ec(cfg, mode, dev))
+res = sv(ms, ec)
 res.table.block_until_ready()
+t_cold = time.time() - t0
+t0 = time.time()
+res = sv(ms, ec)
+res.table.block_until_ready()
+t_warm = time.time() - t0
 bad = driver.finite_report(res)
-print(f"OK batch={B} solve={time.time()-t0:.1f}s nonfinite={list(bad)}")
+print(f"OK batch={B} cold={t_cold:.1f}s warm={t_warm:.1f}s "
+      f"({B / t_warm * 60:.0f}/min solve-only) nonfinite={list(bad)}")
 """
 
 
