@@ -36,6 +36,20 @@ _BEF_POW = np.array([(j % 8) // 4 + ((j % 8) % 4) // 2 + (j % 8) % 2 + 1
 _ABC_POW = np.array([(j // 4) + (j % 4) // 2 + (j % 2) + 1 for j in range(8)])
 
 
+def _pow_onehot(idx: np.ndarray) -> np.ndarray:
+    """One-hot row selector S so that S @ fpow == fpow[idx]: static
+    fancy indexing lowers through XLA's gather, which is pathological on
+    the TPU runtime (docs/TPU_NOTES.md); the matmul form is
+    element-traffic bound."""
+    S = np.zeros((len(idx), 4))
+    S[np.arange(len(idx)), idx] = 1.0
+    return S
+
+
+_BEF_SEL = _pow_onehot(_BEF_POW - 1)     # [64, 4]
+_ABC_SEL = _pow_onehot(_ABC_POW - 1)     # [8, 4]
+
+
 class OneLoopCache(NamedTuple):
     """Mode-coupling evaluated once at z1l from the linear spectrum
     (reference :1291-1313)."""
@@ -105,9 +119,11 @@ def oneloop_rescale(cfg: SolverConfig, settings: RunSettings,
 
     f2 = fz * fz
     fpow = jnp.stack([fz, f2, f2 * fz, f2 * f2])         # fz^{1..4} [4, nk]
-    A64 = pre * fpow[jnp.asarray(_BEF_POW) - 1] * cache.A64
-    R = pre * fpow[jnp.asarray(_ABC_POW) - 1][None] * cache.R
-    PT = pre * fpow[3 - jnp.asarray(assembly.M_N)] * cache.PT
+    dt = fpow.dtype
+    A64 = pre * (jnp.asarray(_BEF_SEL, dt) @ fpow) * cache.A64
+    R = pre * (jnp.asarray(_ABC_SEL, dt) @ fpow)[None] * cache.R
+    PT = pre * (jnp.asarray(_pow_onehot(3 - np.asarray(assembly.M_N)), dt)
+                @ fpow) * cache.PT
     PMR = pre * cache.PMR
     return A64, R, PT, PMR
 

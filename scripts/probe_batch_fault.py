@@ -77,10 +77,13 @@ def main():
             r = subprocess.run([sys.executable, "-c", code],
                                capture_output=True, text=True,
                                timeout=args.timeout)
-            tail = (r.stdout + r.stderr).strip().splitlines()[-8:]
+            ok = [l for l in r.stdout.splitlines()
+                  if l.startswith("OK batch")]
+            tail = ok + [l for l in r.stderr.strip().splitlines()[-6:]
+                         if "cpu_aot_loader" not in l]
             results[b] = {"rc": r.returncode, "tail": tail}
             print(f"batch {b}: rc={r.returncode}  "
-                  f"{tail[-1] if tail else ''}", flush=True)
+                  f"{tail[0] if tail else ''}", flush=True)
         except subprocess.TimeoutExpired:
             results[b] = {"rc": None, "tail": ["TIMEOUT"]}
             print(f"batch {b}: TIMEOUT", flush=True)
