@@ -114,9 +114,10 @@ def main():
     mode = "matmul" if backend == "tpu" else "fft"
     # f64 stepping: the full-TRG engine-in-RHS executable passes the
     # reference's 32-model criteria on device at f64 (worst massive
-    # max 1.6e-3 / q95 6.3e-4); the f32 full-TRG executable currently
-    # faults the axon TPU runtime (under investigation — f32 remains fine
-    # for the 1-loop fast path, where the engine stays f64).
+    # max 1.6e-3 / q95 6.3e-4).  f32 full-TRG runs (the round-2 faults
+    # were the growth-table range overflow, since fixed) but fails the
+    # accuracy criteria AND steps ~2.3x more, so it stays non-default;
+    # f32 remains the mode for the 1-loop fast path (engine f64 there).
     dtype = os.environ.get("BENCH_DTYPE", "float64")
 
     cfg = SolverConfig(fft_mode=mode, dtype=dtype)

@@ -304,10 +304,13 @@ def _batch_size(tree) -> int:
     return jax.tree_util.tree_leaves(tree)[0].shape[0]
 
 
-# One v5e chip handles batch<=32 at the flagship configuration; larger
-# batches fault the current TPU runtime (memory-adjacent).  Chunking also
-# pipelines host prepare with device solve: solves dispatch asynchronously,
-# so chunk i+1's host-side prepare overlaps chunk i's device execution.
+# Chunking pipelines host prepare with device solve: solves dispatch
+# asynchronously, so chunk i+1's host-side prepare overlaps chunk i's
+# device execution.  (Round 2's apparent "batch>32 faults the runtime"
+# was NOT a dispatch-size limit: larger synthetic batches included
+# early-DE-dominated cosmologies whose growth-table scale overflowed the
+# TPU's f32-exponent-range f64 — fixed by the prepare_model rescale; one
+# dispatch of 64 now completes fine.)
 # With the Ozaki MXU engine the full-TRG sweet spot moved from 8 to 16
 # (measured e2e at batch 32: chunk 8 = 1683/min, 12 = 1783, 16 = 2058,
 # 32 = 1544 — larger chunks amortize the per-iteration fixed costs until

@@ -765,6 +765,11 @@ def extend_power(cfg: SolverConfig, lnP3: jnp.ndarray, n_s,
     else:
         with jax.default_matmul_precision("highest"):
             lnP_ext = lnP3 @ M.T + (n_s - 3.0) * v
+    # TPU finite-range guard (trg.LNP_MIN/MAX note): the edge-slope
+    # extrapolation can amplify rejected-trial garbage, and exp() of it
+    # is inf on the TPU's f32-exponent-range emulated f64, which crashes
+    # the solve while_loop.  Physical lnP_ext peaks ~13 — identity there.
+    lnP_ext = jnp.clip(lnP_ext, -80.0, 20.0)
     return jnp.exp(lnP_ext) * wp
 
 

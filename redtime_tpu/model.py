@@ -326,6 +326,19 @@ def prepare_model(cfg: SolverConfig, c: CosmoParams,
     i0, wx = interp.axis_weights(jnp.asarray(lna_nodes), jnp.asarray(0.0))
     Dnorm = wx @ jax.lax.dynamic_slice(
         G_red, (i0, jnp.zeros_like(i0)), (4, G_red.shape[1]))  # [nk]
+    # TPU range guard: the growth table's common scale is arbitrary (only
+    # ratios enter growth_D_f).  Early-DE-dominated cosmologies
+    # (w0 + wa > 1/3: rho_DE grows faster than radiation toward a -> 0)
+    # grow D ~ a^3 from a_early, pushing the stored scale past the f32
+    # exponent ceiling of the TPU's emulated f64 (docs/TPU_NOTES.md) —
+    # device_put of such a host-prepared table lands as inf and every
+    # growth lookup goes NaN.  Rescale by Dnorm when it is large; the
+    # s == 1 branch leaves physical cosmologies bit-identical.
+    s = jnp.where(jnp.max(jnp.abs(Dnorm)) > 1e30, Dnorm,
+                  jnp.ones_like(Dnorm))
+    G_red = G_red / s
+    dDda_red = dDda_red / s
+    Dnorm = Dnorm / s
 
     # beta table reduced at the solver grid (k clamped to beta range)
     kq = np.clip(grids.k, cfg.beta_k_min, cfg.beta_k_max)

@@ -30,6 +30,25 @@ from redtime_tpu.ode import RKF45, integrate_interval, rk_step
 NUP, NUI, NELL, NUQ = 3, 14, 3, 24
 NU_STATE = NUP + NUI + NUQ  # 41
 
+# Finite-range guards for the TPU's emulated f64 (f32 EXPONENT range,
+# docs/TPU_NOTES.md): an adaptive TRIAL step can overshoot lnP far beyond
+# any physical value; exp() of such a state is inf on TPU, and an inf
+# inside the solve while_loop can crash the worker outright (the
+# growth-ODE precedent in TPU_NOTES).  The caps are ~7 e-folds outside
+# any physical trajectory (lnP peaks ~13 at sigma_8~1.1, lnP11 bottoms
+# ~-55 under the reference's own ±10 rate clamp), so accepted steps are
+# bit-identical; only rejected-trial garbage is tamed.  LNP_MAX keeps
+# the engine's quadratic P-products and their 4np-term convolution sums
+# below f32's ~3.4e38 ceiling; LNP_MIN keeps exp() above underflow so
+# dP/P stays finite.  DLNP_GUARD bounds the un-clamped dlnP rows (the
+# reference clamps only row 11, :1487-1491): at erel=1e-2 no step with
+# |dlnP|~1e4 is ever accepted, so the guard binds only inside rejected
+# trials.  (The round-2 "batch>32" device fault itself turned out to be
+# the growth-table scale overflow fixed in model.prepare_model — these
+# guards close the remaining trial-state exp() routes to inf.)
+LNP_MIN, LNP_MAX = -80.0, 20.0
+DLNP_GUARD = 1e4
+
 # fz exponents of the 1-loop rescale (reference :1322-1336)
 _BEF_POW = np.array([(j % 8) // 4 + ((j % 8) % 4) // 2 + (j % 8) % 2 + 1
                      for j in range(64)])
@@ -152,7 +171,7 @@ def make_rhs(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
         O = omega_matrix(cfg, model, a)              # [2, 2, nk]
         e_eta = jnp.exp(eta)
 
-        lnP = y[0:3]
+        lnP = jnp.clip(y[0:3], LNP_MIN, LNP_MAX)     # TPU finite-range guard
         P = jnp.exp(lnP)                             # P00, P01, P11
 
         if nonlinear:
@@ -193,6 +212,9 @@ def make_rhs(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
             dP1 = dP1 + coef * (Isum[1, 0] + Isum[0, 1])
             dP2 = dP2 + coef * (Isum[1, 1] + Isum[1, 1])
         dlnP = jnp.stack([dP0 / P[0], dP1 / P[1], dP2 / P[2]])
+        # rejected-trial finite-range guard (binds only at |dlnP| far
+        # beyond any acceptable step; see DLNP_GUARD note above)
+        dlnP = jnp.clip(dlnP, -DLNP_GUARD, DLNP_GUARD)
         # late-time P_11 -> 0 instability clamp (reference :1487-1491)
         dlnP = dlnP.at[2].set(jnp.clip(dlnP[2], -10.0, 10.0))
 

@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""Bisect the one-dispatch batch-size fault (full-TRG, f64, nk=128).
+"""Probe one-dispatch batch sizes (full-TRG, f64, nk=128).
 
-Batches > 32 in a SINGLE device dispatch have faulted the axon TPU
-runtime (memory-adjacent; chunking works around it).  This probe runs
-solve-only at increasing batch sizes in fresh subprocesses (a faulted
-worker can wedge the tunnel for the parent), recording the largest OK
-and smallest failing batch, plus the failure text — the committed
-artifact for an upstream report.
+Round-2 history: batches > 32 in a single dispatch APPEARED to fault the
+axon TPU runtime.  The real mechanism (found by bisecting to single
+cosmologies) was not dispatch size: the synthetic `_cosmo(i)` sweep
+reaches early-DE-dominated parameters (w0 + wa > 1/3) at i >~ 53, whose
+growth-table common scale exceeds the f32 exponent ceiling of the TPU's
+emulated f64 — device_put landed inf and enough NaN lanes crashed the
+worker.  Fixed by the prepare_model table rescale (exact no-op for
+physical models); one dispatch of 64 now completes.  This probe remains
+the subprocess-isolated harness for re-checking dispatch scaling.
 
 Usage: python scripts/probe_batch_fault.py [--sizes 32,40,48,64]
 """

@@ -152,3 +152,44 @@ def test_custom_k_range_and_z_in():
     table = _run(cfg, settings)
     assert np.isclose(table[0, 0, 0], 3e-3)
     assert np.isclose(table[0, -1, 0], 0.5)
+
+
+def test_extreme_de_growth_table_stays_in_f32_exponent_range():
+    """Early-DE-dominated cosmologies (w0 + wa > 1/3) grow D ~ a^3 from
+    a_early, blowing the growth table's arbitrary common scale past 1e39.
+    The TPU's emulated f64 has f32's exponent range (docs/TPU_NOTES.md),
+    so device_put of such a table lands inf and every growth lookup goes
+    NaN — this was the real mechanism behind the round-2 'batch > 32'
+    device faults.  prepare_model must renormalize the scale away
+    (growth_D_f consumes only ratios) while leaving physical cosmologies
+    bit-identical."""
+    from redtime_tpu import trg
+
+    _, lin = _toy_inputs()
+    cfg = SolverConfig(**SMALL)
+    extreme = CosmoParams.make(n_s=1.072, sigma_8=1.08, h=0.68,
+                               Omega_m=0.30, Omega_b=0.048, Omega_nu=0.005,
+                               T_cmb=2.726, w0=-0.44, wa=2.8)
+    m = jax.jit(lambda c, l: mdl.prepare_model(cfg, c, l))(extreme, lin)
+    for leaf in jax.tree_util.tree_leaves(m):
+        a = np.asarray(leaf)
+        assert np.all(np.isfinite(a))
+        # representable in the TPU's f32-exponent-range emulated f64
+        assert np.all(np.abs(a) < 3.0e38), float(np.abs(a).max())
+    D0, _ = mdl.growth_D_f(m, 0.0)
+    D2, _ = mdl.growth_D_f(m, 2.02)
+    D200, _ = mdl.growth_D_f(m, 200.0)
+    assert np.allclose(np.asarray(D0), 1.0, atol=1e-10)
+    # regression band: host-f64 full-resolution grid gives 0.2043; the
+    # SMALL test grid shifts it to ~0.208
+    assert np.all((np.asarray(D2) > 0.19) & (np.asarray(D2) < 0.22))
+    assert np.all(np.asarray(D200) < np.asarray(D2))
+
+    # physical cosmology: the rescale branch must be an exact no-op
+    c0, _ = _toy_inputs()
+    m0 = jax.jit(lambda c, l: mdl.prepare_model(cfg, c, l))(c0, lin)
+    assert float(np.abs(np.asarray(m0.g_Dnorm)).max()) < 1e30
+    assert not np.allclose(np.asarray(m0.g_Dnorm), 1.0)
+
+    # the trial-step finite-range guards in the RHS never bind on entry
+    assert trg.LNP_MAX >= 20.0 and trg.LNP_MIN <= -60.0
