@@ -19,6 +19,7 @@ Layouts produced:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # unique slots and mirror copies (reference redTime.cc:151-157, 246-255)
@@ -522,3 +523,147 @@ def assemble(Jf, PZf, Jn0f, J_lo, k, with_rsd: bool):
     PMRarr = jnp.stack(PMR)
 
     return A_unique, Rarr, PTarr, PMRarr
+
+
+# ---------------------------------------------------------------------------
+# Matmul-form assembly
+#
+# `assemble` above is the verified transcription of the reference's per-k
+# loop (redTime.cc:813-1279): ~55 outputs, each a chain of ~10 scaled adds
+# on [nk] vectors.  The map is LINEAR in the 190 features (63 J + 63 PZ +
+# 63 Jn0 + J_lo) per k-column, with per-term k-prefactors drawn from a
+# fixed power set — so it collapses to two static dots with k-power row
+# weights.  The matrix is derived NUMERICALLY from `assemble` itself
+# (basis probing below), so the two forms cannot drift apart: `assemble`
+# stays the contract, the matmul is its compiled image.
+#
+# Measured on the TPU runtime the matmul form is ~15% SLOWER per full-TRG
+# solve than the direct form (0.19 s vs 0.16 s per chunk-8 solve): XLA
+# fuses the direct form's elementwise chains into a handful of kernels
+# whose inputs are read once, while the dots pay irreducible element
+# traffic through the emulated-f64 dot path (output rows x batch).  It is
+# kept as a verified, tested alternative for runtimes with weaker
+# elementwise fusion, selectable via SolverConfig.asm_leg='matmul'.
+
+ASM_POWERS = (1, 0, -1, -2, -3, -4)
+ASM_NFEAT = 3 * 63 + 1
+ASM_NOUT = 14 + 24 + 9 + 8
+
+_ASM_CACHE: dict = {}
+
+
+def _asm_probe(k: np.ndarray) -> np.ndarray:
+    """Evaluate `assemble` on the 190 basis inputs in ONE vectorized call
+    (k-axis tiled per feature) -> M [ASM_NOUT, ASM_NFEAT, nk]."""
+    nk = len(k)
+    ncol = ASM_NFEAT * nk
+    kbig = np.tile(np.asarray(k, np.float64), ASM_NFEAT)
+    blocks = np.zeros((3, 7, 3, 3, ncol))
+    for f in range(63):
+        n, r = divmod(f, 9)
+        for s in range(3):
+            blocks[s, n, r // 3, r % 3,
+                   (63 * s + f) * nk:(63 * s + f + 1) * nk] = 1.0
+    jlo = np.zeros(ncol)
+    jlo[189 * nk:] = 1.0
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        A, R, PT, PMR = assemble(
+            jnp.asarray(blocks[0]), jnp.asarray(blocks[1]),
+            jnp.asarray(blocks[2]), jnp.asarray(jlo),
+            jnp.asarray(kbig), True)
+        out = np.concatenate([np.asarray(A), np.asarray(R).reshape(24, -1),
+                              np.asarray(PT), np.asarray(PMR)])
+    return out.reshape(ASM_NOUT, ASM_NFEAT, nk)
+
+
+def asm_consts(k: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(Cc [nrows, ASM_NFEAT], kwr [nrows, nk], S [ASM_NOUT, nrows]) such
+    that out = S @ (kwr * (Cc @ F)) reproduces `assemble` (with
+    with_rsd=True) to f64 roundoff, where the rows are the nonzero
+    (k-power, output) pairs.  Each (output, feature) k-profile is
+    verified to be EXACTLY in the span of ASM_POWERS (the reference's
+    prefactors are pre_A = k/4pi, pre_R = 1/2pik, the PT 1/k^2 and 1/k^4
+    pieces, and pre_R/k^2 on the ell=3 Jn0 terms); a multi-power
+    least-squares fallback covers any combination, with a reconstruction
+    assert either way."""
+    k = np.asarray(k, np.float64)
+    key = (len(k), float(k[0]), float(k[-1]))
+    hit = _ASM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    M = _asm_probe(k)
+    npow = len(ASM_POWERS)
+    nk = len(k)
+    kp = np.stack([k ** p for p in ASM_POWERS])          # [npow, nk]
+    C = np.zeros((npow, ASM_NOUT, ASM_NFEAT))
+    mid = nk // 2
+    for o in range(ASM_NOUT):
+        for f in range(ASM_NFEAT):
+            y = M[o, f]
+            ymax = np.abs(y).max()
+            if ymax == 0.0:
+                continue
+            placed = False
+            for pi in range(npow):
+                r = y / kp[pi]
+                c = r[mid]
+                if c != 0.0 and np.abs(r - c).max() <= 1e-10 * abs(c):
+                    C[pi, o, f] = c
+                    placed = True
+                    break
+            if not placed:
+                # mixed powers: exact least-squares in the power span
+                V = kp.T                                  # [nk, npow]
+                s = np.abs(V).max(axis=0)
+                coef, *_ = np.linalg.lstsq(V / s, y, rcond=None)
+                coef = coef / s
+                coef[np.abs(coef) < 1e-12 * np.abs(coef).max()] = 0.0
+                if np.abs(V @ coef - y).max() > 1e-9 * ymax:
+                    raise AssertionError(
+                        f"assembly k-profile at (out={o}, feat={f}) is "
+                        "not in the k-power span; matmul form invalid")
+                C[:, o, f] = coef
+    # global reconstruction check against the probed map
+    Mhat = np.einsum("pof,pn->ofn", C, kp)
+    scale = np.abs(M).max(axis=(1, 2), keepdims=True)
+    if not np.all(np.abs(Mhat - M) <= 1e-9 * scale):
+        raise AssertionError("assembly matmul reconstruction failed")
+    # compact to the nonzero (power, output) rows: the dense form wastes
+    # len(ASM_POWERS)x the output traffic (the emulated-f64 dot is
+    # element-traffic bound), and most rows use exactly one power
+    rows = [(pi, o) for pi in range(npow) for o in range(ASM_NOUT)
+            if np.any(C[pi, o])]
+    Cc = np.stack([C[pi, o] for pi, o in rows])          # [nrows, nfeat]
+    kwr = np.stack([kp[pi] for pi, _ in rows])           # [nrows, nk]
+    S = np.zeros((ASM_NOUT, len(rows)))                  # scatter [55, nrows]
+    for r, (_, o) in enumerate(rows):
+        S[o, r] = 1.0
+    out = (Cc, kwr, S)
+    _ASM_CACHE[key] = out
+    return out
+
+
+def assemble_matmul(Jf, PZf, Jn0f, J_lo, k, with_rsd: bool, Cc, kwr, S):
+    """`assemble` as two static dots (see block comment above).
+
+    Cc, kwr, S: from `asm_consts(k)` (host) or the EngineConsts pack
+    (device).  Returns the same (A_unique, R, PT, PMR) tuple; R/PT are
+    zeroed when with_rsd is False, matching the direct form's contract."""
+    nk = k.shape[-1]
+    dt = Jf.dtype
+    zeros63 = jnp.zeros((63, nk), dt)
+    F = jnp.concatenate([
+        Jf.reshape(63, nk), PZf.reshape(63, nk),
+        Jn0f.reshape(-1, nk) if Jn0f.shape[0] else zeros63,
+        jnp.broadcast_to(jnp.asarray(J_lo, dt), (1, nk))])
+    with jax.default_matmul_precision("highest"):
+        out = S @ (kwr * (Cc @ F))
+    A_u = out[:14]
+    if with_rsd:
+        R = out[14:38].reshape(3, 8, nk)
+        PT = out[38:47]
+    else:
+        R = jnp.zeros((3, 8, nk), dt)
+        PT = jnp.zeros((9, nk), dt)
+    return A_u, R, PT, out[47:]

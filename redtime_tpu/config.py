@@ -119,6 +119,17 @@ class SolverConfig:
     # transform) or 'ozaki' (generic diagonal-grouped int8 packs — the
     # dropped slice pairs weigh ~2^-77 of operand scale, below the f64
     # dots' own rounding).  'auto' = ozaki on TPU.
+    asm_leg: str = "auto"        # A/R/PT/PMR assembly implementation:
+    # 'direct' (the transcribed per-slot elementwise combos — the
+    # verified contract) or 'matmul' (two static dots over the 190
+    # transform features with k-power row weights; derived numerically
+    # FROM the direct form by basis probing, equivalent to ~8e-15
+    # relative — assembly.asm_consts).  Measured on the TPU runtime the
+    # matmul form is ~15% SLOWER per solve (XLA fuses the direct form's
+    # elementwise chains into a handful of kernels, while the dots pay
+    # irreducible element traffic), so 'auto' = direct everywhere; the
+    # matmul form is kept as a verified alternative for runtimes where
+    # elementwise fusion is weaker.
     pz_leg: str = "auto"         # PZ Toeplitz-contraction implementation:
     # 'dot' (emulated-f64 einsum) or 'ozaki' (diagonal-grouped int8 slice
     # dots on the MXU).  The contraction cancels ~1e8 of operand scale

@@ -654,6 +654,12 @@ class EngineConsts(NamedTuple):
     oz_f_diags: object = None     # fwd: tuple of [len_d*np, 2*half] int8
     oz_f_scale: object = None     # [1, 2*half]
     oz_f_row: object = None       # [1, np]
+    # matmul-form assembly (asm_leg 'matmul'/'auto'): the basis-probed
+    # compact coefficient rows, their k-power weights, and the output
+    # scatter (assembly.asm_consts)
+    asm_C: object = None          # [nrows, 190] f64
+    asm_kw: object = None         # [nrows, nk] f64
+    asm_S: object = None          # [55, nrows] f64
 
 
 
@@ -737,7 +743,23 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
            if (use_matmul and cfg.conv_impl == "fft"
                and cfg.engine_transform_dtype == "float64"
                and cfg.fwd_leg != "dot" and _oz_legs_fit(cfg))
-           else {}))
+           else {}),
+        **({"asm_C": jnp.asarray(_asm_consts_np(cfg)[0]),
+            "asm_kw": jnp.asarray(_asm_consts_np(cfg)[1]),
+            "asm_S": jnp.asarray(_asm_consts_np(cfg)[2])}
+           if _asm_leg_resolved(cfg) == "matmul" else {}))
+
+
+@functools.lru_cache(maxsize=8)
+def _asm_consts_np(cfg: SolverConfig):
+    from redtime_tpu import assembly
+    return assembly.asm_consts(np.asarray(make_grids(cfg).k))
+
+
+def _asm_leg_resolved(cfg: SolverConfig) -> str:
+    # measured: the matmul form is ~15% slower per full-TRG solve on the
+    # TPU runtime (see config.asm_leg) — direct wins on every backend
+    return "direct" if cfg.asm_leg == "auto" else cfg.asm_leg
 
 
 def _fwd_leg_resolved(cfg: SolverConfig) -> str:

@@ -103,6 +103,13 @@ def compute_mode_coupling_full(cfg: SolverConfig, lnP3, n_s, with_rsd: bool,
     P_ext = fastpt.extend_power(cfg, lnP3, n_s, ec)
     Jw, J_lo, PZw = fastpt.compute_J_PZ_windowed(cfg, P_ext, with_rsd,
                                                  mode, ec)
+    if fastpt._asm_leg_resolved(cfg) == "matmul":
+        if ec is not None and ec.asm_C is not None:
+            consts = (ec.asm_C, ec.asm_kw, ec.asm_S)
+        else:
+            consts = tuple(jnp.asarray(x) for x in fastpt._asm_consts_np(cfg))
+        return assembly.assemble_matmul(Jw[:7], PZw, Jw[7:], J_lo, k,
+                                        with_rsd, *consts)
     return assembly.assemble(Jw[:7], PZw, Jw[7:], J_lo, k, with_rsd)
 
 

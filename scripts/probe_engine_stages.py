@@ -159,7 +159,7 @@ def main():
                 preferred_element_type=jnp.int32)
             tot = tot + o.astype(tab.dtype) * (2.0 ** (-q * (d + 2)))
         J = jnp.moveaxis(tot, 1, 0).reshape(CH, NFAM, 3, 3, nk + 1)
-        return J * jnp.moveaxis(xe, 2, 1) * ec.oz_g_scale[None, :NFAM]
+        return J * xe * ec.oz_g_scale[None, :NFAM]
 
     Jw0 = jax.jit(prod_out)(tab0)
 

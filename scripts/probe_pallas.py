@@ -151,8 +151,8 @@ def probe4():
                             jnp.float32)
         r = ah * inv
         ws = [w0, w1, w2, w3]
-        toth = jnp.zeros((M, O), jnp.float32)
-        totl = jnp.zeros((M, O), jnp.float32)
+        toth = jnp.zeros((ah.shape[0], w0.shape[1]), jnp.float32)
+        totl = jnp.zeros((ah.shape[0], w0.shape[1]), jnp.float32)
         for i in range(SA):
             sc = np.float32(2.0 ** (q * (i + 1)))
             t = jnp.round(r * sc)
@@ -176,14 +176,22 @@ def probe4():
         oh_ref[:] = toth
         ol_ref[:] = totl
 
+    TM = 288  # row tile (2016 / 7, divisible by 8); per-tile VMEM ~7 MB
+
     @jax.jit
     def pallas_path(xh, xl, ws):
-        oh, ol = pl.pallas_call(
-            kernel,
-            out_shape=(jax.ShapeDtypeStruct((M, O), jnp.float32),) * 2,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
-        )(xh, xl, *ws)
+        # Pallas grids fail Mosaic legalization ('func.return') when traced
+        # under x64 (i64 index maps); trace the call in x32 — operands are
+        # f32/int8 anyway (docs/TPU_NOTES.md)
+        with jax.enable_x64(False):
+            oh, ol = pl.pallas_call(
+                kernel,
+                grid=(M // TM,),
+                out_shape=(jax.ShapeDtypeStruct((M, O), jnp.float32),) * 2,
+                in_specs=[pl.BlockSpec((TM, K), lambda i: (i, 0))] * 2 +
+                         [pl.BlockSpec((K, O), lambda i: (0, 0))] * 4,
+                out_specs=(pl.BlockSpec((TM, O), lambda i: (i, 0)),) * 2,
+            )(xh, xl, *ws)
         return oh, ol
 
     xj = jnp.asarray(x)

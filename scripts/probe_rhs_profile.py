@@ -50,11 +50,13 @@ def timed(fn, *args, reps=5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--asm", default="auto",
+                    choices=("auto", "direct", "matmul"))
     args = ap.parse_args()
     chunk = args.chunk
 
     mode = "matmul" if jax.default_backend() == "tpu" else "fft"
-    cfg = SolverConfig(fft_mode=mode)
+    cfg = SolverConfig(fft_mode=mode, asm_leg=args.asm)
     settings = RunSettings(one_loop=False, z_out=Z_OUT)
     lin = _example_inputs(cfg)
     cosmos = jax.tree_util.tree_map(
