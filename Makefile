@@ -23,9 +23,14 @@ lint:
 test:
 	$(PY) -m pytest tests/ -q
 
-# end-to-end drive vs the reference's bundled example
+# end-to-end drive vs the reference's bundled example (skips cleanly
+# where the reference checkout is absent, e.g. GitHub-hosted runners)
 golden:
-	$(PY) scripts/golden_check.py --mode fft
+	@if [ -d /root/reference/examples/1_redTime ]; then \
+		$(PY) scripts/golden_check.py --mode fft; \
+	else \
+		echo "golden: /root/reference not present — skipped"; \
+	fi
 
 bench:
 	$(PY) bench.py

@@ -577,18 +577,21 @@ def _asm_probe(k: np.ndarray) -> np.ndarray:
     return out.reshape(ASM_NOUT, ASM_NFEAT, nk)
 
 
-def asm_consts(k: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def asm_consts(k: np.ndarray, with_rsd: bool = True
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(Cc [nrows, ASM_NFEAT], kwr [nrows, nk], S [ASM_NOUT, nrows]) such
-    that out = S @ (kwr * (Cc @ F)) reproduces `assemble` (with
-    with_rsd=True) to f64 roundoff, where the rows are the nonzero
-    (k-power, output) pairs.  Each (output, feature) k-profile is
-    verified to be EXACTLY in the span of ASM_POWERS (the reference's
-    prefactors are pre_A = k/4pi, pre_R = 1/2pik, the PT 1/k^2 and 1/k^4
-    pieces, and pre_R/k^2 on the ell=3 Jn0 terms); a multi-power
-    least-squares fallback covers any combination, with a reconstruction
-    assert either way."""
+    that out = S @ (kwr * (Cc @ F)) reproduces `assemble` to f64
+    roundoff, where the rows are the nonzero (k-power, output) pairs.
+    With with_rsd=False the R/PT rows (outputs 14..46, ~60% of the pack)
+    are dropped — the direct form skips them under the same flag, and
+    the matmul leg is element-traffic bound.  Each (output, feature)
+    k-profile is verified to be EXACTLY in the span of ASM_POWERS (the
+    reference's prefactors are pre_A = k/4pi, pre_R = 1/2pik, the PT
+    1/k^2 and 1/k^4 pieces, and pre_R/k^2 on the ell=3 Jn0 terms); a
+    multi-power least-squares fallback covers any combination, with a
+    reconstruction assert either way."""
     k = np.asarray(k, np.float64)
-    key = (len(k), float(k[0]), float(k[-1]))
+    key = (len(k), float(k[0]), float(k[-1]), with_rsd)
     hit = _ASM_CACHE.get(key)
     if hit is not None:
         return hit
@@ -633,7 +636,7 @@ def asm_consts(k: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     # len(ASM_POWERS)x the output traffic (the emulated-f64 dot is
     # element-traffic bound), and most rows use exactly one power
     rows = [(pi, o) for pi in range(npow) for o in range(ASM_NOUT)
-            if np.any(C[pi, o])]
+            if np.any(C[pi, o]) and (with_rsd or not 14 <= o < 47)]
     Cc = np.stack([C[pi, o] for pi, o in rows])          # [nrows, nfeat]
     kwr = np.stack([kp[pi] for pi, _ in rows])           # [nrows, nk]
     S = np.zeros((ASM_NOUT, len(rows)))                  # scatter [55, nrows]

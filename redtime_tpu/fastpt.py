@@ -751,9 +751,9 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
 
 
 @functools.lru_cache(maxsize=8)
-def _asm_consts_np(cfg: SolverConfig):
+def _asm_consts_np(cfg: SolverConfig, with_rsd: bool = True):
     from redtime_tpu import assembly
-    return assembly.asm_consts(np.asarray(make_grids(cfg).k))
+    return assembly.asm_consts(np.asarray(make_grids(cfg).k), with_rsd)
 
 
 def _asm_leg_resolved(cfg: SolverConfig) -> str:

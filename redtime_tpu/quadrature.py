@@ -58,16 +58,10 @@ def _legendre(ell: int, x: np.ndarray) -> np.ndarray:
     return pk
 
 
-def j_quadrature(cfg: SolverConfig, P_ext: np.ndarray, k: np.ndarray,
-                 alpha: int, beta: int, ell: int,
-                 n_q: int = 400, n_x: int = 64) -> np.ndarray:
-    """J_{alpha,beta,ell}(k) by 2D Gauss-Legendre quadrature.
-
-    P_ext: the windowed power spectrum on the extended grid [npts]
-    (fastpt.extend_power output row) — the same input the FFT-log engine
-    consumes, interpolated log-log-linearly and zero outside its
-    support.  k: solver-grid values to evaluate at.  Returns [len(k)].
-    """
+def _p_interp(cfg: SolverConfig, P_ext: np.ndarray):
+    """(lo, hi, P_of): the support bounds in ln k and the masked
+    log-log-linear interpolant of the windowed extended spectrum — the
+    same input the FFT-log engine consumes, zero outside its support."""
     g = make_grids(cfg)
     P_ext = np.asarray(P_ext, np.float64)
     sup = P_ext > 0.0
@@ -80,9 +74,27 @@ def j_quadrature(cfg: SolverConfig, P_ext: np.ndarray, k: np.ndarray,
         v = np.interp(lq, lnk_ext, lnP)
         return np.where((lq < lo) | (lq > hi), 0.0, np.exp(v))
 
+    return lo, hi, P_of
+
+
+def _gl_lnq(lo: float, hi: float, n_q: int):
+    """Gauss-Legendre nodes/weights mapped onto ln q in [lo, hi]."""
     uq, wq = leggauss(n_q)
     lq = 0.5 * (hi + lo) + 0.5 * (hi - lo) * uq
-    wlq = 0.5 * (hi - lo) * wq
+    return lq, 0.5 * (hi - lo) * wq
+
+
+def j_quadrature(cfg: SolverConfig, P_ext: np.ndarray, k: np.ndarray,
+                 alpha: int, beta: int, ell: int,
+                 n_q: int = 400, n_x: int = 64) -> np.ndarray:
+    """J_{alpha,beta,ell}(k) by 2D Gauss-Legendre quadrature.
+
+    P_ext: the windowed power spectrum on the extended grid [npts]
+    (fastpt.extend_power output row).  k: solver-grid values to
+    evaluate at.  Returns [len(k)].
+    """
+    lo, hi, P_of = _p_interp(cfg, P_ext)
+    lq, wlq = _gl_lnq(lo, hi, n_q)
     q = np.exp(lq)
     ux, wx = leggauss(n_x)
 
@@ -113,19 +125,10 @@ def pz_quadrature(cfg: SolverConfig, P_ext: np.ndarray, k: np.ndarray,
     """
     from redtime_tpu import fastpt
 
-    g = make_grids(cfg)
-    P_ext = np.asarray(P_ext, np.float64)
-    sup = P_ext > 0.0
-    lnk_ext = g.lnk_ext
-    lo, hi = lnk_ext[sup][0], lnk_ext[sup][-1]
-    lnP = np.where(sup, np.log(np.maximum(P_ext, 1e-300)), -700.0)
-
-    uq, wq = leggauss(n_q)
-    lq = 0.5 * (hi + lo) + 0.5 * (hi - lo) * uq
-    wlq = 0.5 * (hi - lo) * wq
+    lo, hi, P_of = _p_interp(cfg, P_ext)
+    lq, wlq = _gl_lnq(lo, hi, n_q)
     q = np.exp(lq)
-    Pq = np.where((lq < lo) | (lq > hi), 0.0,
-                  np.exp(np.interp(lq, lnk_ext, lnP)))
+    Pq = P_of(q)
 
     k = np.atleast_1d(np.asarray(k, np.float64))
     out = np.empty(len(k))

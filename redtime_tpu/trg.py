@@ -104,10 +104,13 @@ def compute_mode_coupling_full(cfg: SolverConfig, lnP3, n_s, with_rsd: bool,
     Jw, J_lo, PZw = fastpt.compute_J_PZ_windowed(cfg, P_ext, with_rsd,
                                                  mode, ec)
     if fastpt._asm_leg_resolved(cfg) == "matmul":
-        if ec is not None and ec.asm_C is not None:
+        if with_rsd and ec is not None and ec.asm_C is not None:
             consts = (ec.asm_C, ec.asm_kw, ec.asm_S)
         else:
-            consts = tuple(jnp.asarray(x) for x in fastpt._asm_consts_np(cfg))
+            # non-rsd path: the reduced row pack (R/PT rows dropped);
+            # small enough (~0.2 MB) to bake as constants
+            consts = tuple(jnp.asarray(x)
+                           for x in fastpt._asm_consts_np(cfg, with_rsd))
         return assembly.assemble_matmul(Jw[:7], PZw, Jw[7:], J_lo, k,
                                         with_rsd, *consts)
     return assembly.assemble(Jw[:7], PZw, Jw[7:], J_lo, k, with_rsd)

@@ -158,7 +158,10 @@ def main():
                 precision=jax.lax.Precision.DEFAULT,
                 preferred_element_type=jnp.int32)
             tot = tot + o.astype(tab.dtype) * (2.0 ** (-q * (d + 2)))
-        J = jnp.moveaxis(tot, 1, 0).reshape(CH, NFAM, 3, 3, nk + 1)
+        # tot is [NFAM, CH*9, nk+1] with axis 1 ordered (chunk, a, b):
+        # decode (f, c, a, b) THEN move the chunk axis out (a bare
+        # moveaxis-reshape scrambles (a, b) against f when NFAM != 9)
+        J = jnp.moveaxis(tot.reshape(NFAM, CH, 3, 3, nk + 1), 0, 1)
         return J * xe * ec.oz_g_scale[None, :NFAM]
 
     Jw0 = jax.jit(prod_out)(tab0)

@@ -34,7 +34,11 @@ def _rand_inputs(nk, seed=0):
 
 @pytest.mark.parametrize("with_rsd", [True, False])
 def test_matmul_matches_direct(consts, with_rsd):
-    g, (Cc, kwr, S) = consts
+    g, full = consts
+    # the with_rsd=False pack drops the R/PT rows (the direct form skips
+    # them under the same flag) — exercise the reduced pack there
+    Cc, kwr, S = (full if with_rsd else
+                  assembly.asm_consts(np.asarray(g.k), with_rsd=False))
     Jf, PZf, Jn0f, J_lo = _rand_inputs(g.nk)
     k = jnp.asarray(g.k)
     Jn0 = jnp.asarray(Jn0f) if with_rsd else jnp.zeros((0, 3, 3, g.nk))
