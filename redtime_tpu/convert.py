@@ -221,3 +221,32 @@ def convert_pk_full(design_file: str, step_no: int, out_dir: str,
             path = os.path.join(out_dir,
                                 f"{tag}_M{mn:03d}_{suffix}.dat")
             np.savetxt(path, np.column_stack(cols), fmt="%f")
+
+
+def tns_ab(block: np.ndarray, mu) -> Tuple[np.ndarray, np.ndarray]:
+    """Combine a 17-column output block into A(k, mu) and B(k, mu).
+
+    The solver prints the TNS (Taruya, Nishimichi & Saito 2010) RSD
+    corrections as mu-power components: columns 11-13 (1-based) are the
+    mu^{2,4,6} components of A and columns 14-17 the mu^{2,4,6,8}
+    components of B (reference `README.md:104-113`).  This performs the
+    downstream combination the reference leaves to its users:
+
+        A(k, mu) = mu^2 A_2 + mu^4 A_4 + mu^6 A_6
+        B(k, mu) = mu^2 B_2 + mu^4 B_4 + mu^6 B_6 + mu^8 B_8
+
+    block: [nk, 17] (one redshift block); mu: scalar or [n_mu].
+    Returns (A [n_mu, nk], B [n_mu, nk]) — squeezed to [nk] for a
+    scalar mu.
+    """
+    block = np.asarray(block, np.float64)
+    if block.ndim != 2 or block.shape[1] != 17:
+        raise ValueError(f"expected a [nk, 17] block, got {block.shape}")
+    mu_arr = np.atleast_1d(np.asarray(mu, np.float64))
+    m2 = (mu_arr * mu_arr)[:, None]              # [n_mu, 1]
+    A = m2 * block[:, 10] + m2 ** 2 * block[:, 11] + m2 ** 3 * block[:, 12]
+    B = (m2 * block[:, 13] + m2 ** 2 * block[:, 14]
+         + m2 ** 3 * block[:, 15] + m2 ** 4 * block[:, 16])
+    if np.ndim(mu) == 0:
+        return A[0], B[0]
+    return A, B

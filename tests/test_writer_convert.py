@@ -218,3 +218,26 @@ def test_convert_pk_full(tmp_path):
     np.testing.assert_allclose(pk[:, 3], Ph / h ** 3 * g, **tol)
     np.testing.assert_allclose(err[:, 2],
                                Ph / h ** 3 / np.sqrt(ch) * g, **tol)
+
+
+def test_tns_ab_combination():
+    """tns_ab combines the mu-power columns per README.md:104-113."""
+    from redtime_tpu.convert import tns_ab
+    rng = np.random.default_rng(7)
+    block = rng.standard_normal((16, 17))
+    mu = np.array([0.0, 0.5, 1.0])
+    A, B = tns_ab(block, mu)
+    assert A.shape == (3, 16) and B.shape == (3, 16)
+    assert np.allclose(A[0], 0.0) and np.allclose(B[0], 0.0)
+    m2 = 0.25
+    np.testing.assert_allclose(
+        A[1], m2 * block[:, 10] + m2**2 * block[:, 11] + m2**3 * block[:, 12],
+        rtol=1e-15)
+    np.testing.assert_allclose(
+        B[2], block[:, 13] + block[:, 14] + block[:, 15] + block[:, 16],
+        rtol=1e-14)
+    A1, B1 = tns_ab(block, 0.5)
+    np.testing.assert_allclose(A1, A[1], rtol=0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tns_ab(block[:, :16], 0.5)
