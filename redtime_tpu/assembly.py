@@ -62,6 +62,17 @@ def nAI(a, c, d, b, e, f) -> int:
     return 32 * a + 16 * c + 8 * d + 4 * b + 2 * e + f
 
 
+def _uniq_sel() -> np.ndarray:
+    """One-hot [14, 64] selector of the JU unique rows."""
+    S = np.zeros((14, 64))
+    for j, s in enumerate(JU):
+        S[j, s] = 1.0
+    return S
+
+
+UNIQ_SEL = _uniq_sel()
+
+
 def _omega_contraction_mats():
     """Static one-hot matrices expressing the RHS Omega contractions as
     flat [rows, nk] matmuls (reference :1449-1539).
@@ -82,9 +93,7 @@ def _omega_contraction_mats():
         return ((r >> 5) & 1, (r >> 4) & 1, (r >> 3) & 1,
                 (r >> 2) & 1, (r >> 1) & 1, r & 1)
 
-    jusel = np.zeros((14, 64))
-    for j, s in enumerate(JU):
-        jusel[j, s] = 1.0
+    jusel = UNIQ_SEL
 
     pi_blocks, qi_blocks = [], []
     for pos in (3, 4, 5):           # b, e, f of A/I_{acd,bef}
@@ -158,16 +167,6 @@ def _omega_bilinear_mats():
 
 
 OMEGA_BILINEAR = _omega_bilinear_mats()
-
-
-def _uniq_sel() -> np.ndarray:
-    S = np.zeros((14, 64))
-    for j, s in enumerate(JU):
-        S[j, s] = 1.0
-    return S
-
-
-UNIQ_SEL = _uniq_sel()
 
 
 def assemble(Jf, PZf, Jn0f, J_lo, k, with_rsd: bool):

@@ -114,11 +114,16 @@ def mt_emulator_kgrid(nk: int = 3000, kmin: float = 1e-3,
     return k
 
 
-def read_pk_file(path: str, h: float, counts_col: int = 2) -> np.ndarray:
+def read_pk_file(path: str, h: float,
+                 counts_col: int | None = None) -> np.ndarray:
     """An N-body P(k) file (PM or HACC runs): '#'-header + columns
-    (k, P, counts[, ...]).  Returns [n, 3] = (k*h, P/h^3, err) with
-    err = P / sqrt(counts) (reference process_PM_runs/process_HACC_runs,
-    convert_pk.c:230-246, 336-348)."""
+    (k, P, [junk,] counts).  Returns [n, 3] = (k*h, P/h^3, err) with
+    err = P / sqrt(counts).  Counts default to the LAST column, matching
+    the reference's PM reader exactly (3-column files put counts at
+    index 2, 4-column files at index 3 with junk at 2 —
+    convert_pk.c:336-346).  The HACC counts column varies per model in
+    the legacy data (convert_pk.c:241-244 comment: any[2]/any[3]/any[4]
+    depending on the model); pass counts_col explicitly there."""
     rows = []
     with open(path) as f:
         for line in f:
@@ -128,7 +133,8 @@ def read_pk_file(path: str, h: float, counts_col: int = 2) -> np.ndarray:
     a = np.asarray(rows)
     k = a[:, 0] * h
     P = a[:, 1] / h ** 3
-    err = P / np.sqrt(a[:, counts_col])
+    cc = a.shape[1] - 1 if counts_col is None else counts_col
+    err = P / np.sqrt(a[:, cc])
     return np.column_stack([k, P, err])
 
 
@@ -159,7 +165,8 @@ def convert_pk_full(design_file: str, step_no: int, out_dir: str,
                     models: List[int] | None = None,
                     nk_pt: int = 128, n_pm: int = 16,
                     step_to_z: Dict[int, int] | None = None,
-                    suffix: str = "no_interp_test") -> None:
+                    suffix: str = "no_interp_test",
+                    hacc_counts_col: int | None = 2) -> None:
     """Merge PT + PM + HACC spectra into per-model k/pk/err tables
     (reference convert_pk.c main, :13-130).
 
@@ -196,7 +203,11 @@ def convert_pk_full(design_file: str, step_no: int, out_dir: str,
         pms = [read_pk_file(pm_template.format(model=mn, step=step_no,
                                                pm=pm), h)
                for pm in range(n_pm)]
-        hacc = read_pk_file(hacc_template.format(model=mn, step=step_no), h)
+        # HACC counts: the reference reads column 2 literally but its
+        # own comment records the true column varying per model
+        # (convert_pk.c:241-244); col 2 is the literal-parity default
+        hacc = read_pk_file(hacc_template.format(model=mn, step=step_no),
+                            h, counts_col=hacc_counts_col)
 
         n_rows = max([len(k_pt), len(hacc)] + [len(p) for p in pms])
 

@@ -36,9 +36,16 @@ def _device_ec(cfg: SolverConfig, mode: str, where):
     return jax.device_put(engine_consts(cfg, mode), where)
 
 
-@functools.lru_cache(maxsize=64)
 def _jitted_prepare(cfg: SolverConfig, batched: bool,
                     with_norm: bool = False):
+    # normalize the default at the call boundary: lru_cache keys 2-arg
+    # and 3-arg calls separately, double-compiling the same program
+    return _jitted_prepare_impl(cfg, batched, with_norm)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_prepare_impl(cfg: SolverConfig, batched: bool,
+                         with_norm: bool):
     if with_norm:
         fn = lambda c, l, n: mdl.prepare_model(cfg, c, l, norm_override=n)
     else:
@@ -383,6 +390,12 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
         # heterogeneous batches with widely varying stiffness.
         scheduler = "chunked"
     if scheduler == "packed":
+        if mesh is not None:
+            raise ValueError(
+                "scheduler='packed' runs on a single device and cannot "
+                "honor a mesh; use the chunked scheduler for sharded "
+                "batches (REDTIME_SCHEDULER may be overriding the "
+                "scheduler argument)")
         return _run_batch_packed(cfg, settings, cs, lins, mode,
                                  norm_override)
     if max_chunk is None:

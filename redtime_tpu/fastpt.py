@@ -358,7 +358,12 @@ def _ozaki_out_consts(cfg: SolverConfig):
         G[f] = (FC @ (fr[:, None] * Bc + fi[:, None] * Bs)
                 + FSn @ (fr[:, None] * Bs - fi[:, None] * Bc))
         G[f] *= prek_out[f][None, :]
-    q = _oz_q(K)
+    # int8 magnitude caps the slice width at 7 bits, and the CONSUMER
+    # (compute_J_PZ_windowed) reconstructs with min(_oz_q(K), 7) — an
+    # uncapped q here both wraps the top slice in int8 (2^(q-1) = 128 at
+    # q = 8) and mismatches the consumer's diagonal scales for grids
+    # with K <= 256 (nk <= 32 at np_factor 4)
+    q = min(_oz_q(K), 7)
     sb = -(-53 // q)             # full f64 mantissa coverage of G
     # two-sided balancing: the per-family f coefficients grow by many
     # orders across h, so a column-only slice grid spends its bits on the

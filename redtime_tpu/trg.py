@@ -353,13 +353,27 @@ def evolve_packed(cfg: SolverConfig, settings: RunSettings, models,
     h_init = jnp.float64(1e-2 * eta_fin)
     tab = RKF45
     nflat = NU_STATE * nk
+    if cfg.dtype != "float64":
+        # f32 stepping mode: cast the model/engine tables like
+        # trg.evolve does, or the RHS returns f64 and the while_loop
+        # carry dtype diverges from its f32 initial value at trace time
+        cast = lambda x: (x.astype(jdt)
+                          if hasattr(x, "dtype")
+                          and jnp.issubdtype(x.dtype, jnp.floating) else x)
+        models = jax.tree_util.tree_map(cast, models)
+        if ec is not None:
+            ec = jax.tree_util.tree_map(cast, ec)
 
     def lane_attempt(m, t, h, y, t1):
         """One controller attempt — the body of ode.integrate_interval
         verbatim, with the lane's own segment target t1."""
         rhs = make_rhs(cfg, settings, m, None, mode, ec)
         dt = t1 - t
-        final = h > dt
+        # >= : when h lands EXACTLY on the remaining interval the step
+        # must count as final, or the next attempt runs with h_try = 0
+        # and h_next = 0 * fac permanently zeroes the lane
+        # (integrate_interval is immune — its cond exits on t >= t1)
+        final = h >= dt
         h_try = jnp.where(final, dt, h)
         y_new, yerr = rk_step(rhs, t, h_try, y, tab)
         d0 = cfg.eabs_P + cfg.erel_P * jnp.abs(y_new)

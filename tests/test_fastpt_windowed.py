@@ -14,6 +14,7 @@ import pytest
 
 from redtime_tpu import fastpt
 from redtime_tpu.config import SolverConfig
+from redtime_tpu.grids import make_grids
 
 
 def _smooth_spectrum(cfg):
@@ -190,3 +191,29 @@ def test_windowed_fallback_slices_full_path():
     assert jnp.array_equal(Jw, J[..., sl])
     assert jnp.array_equal(PZw, PZ[..., sl])
     assert float(J_lo) == float(J[0, 0, 0, g.nshift - cfg.nk // 2])
+
+
+def test_ozaki_out_leg_small_grid():
+    """Regression: the out-leg pack must cap q at 7 like its consumer —
+    at nk=32 (K=256, uncapped q=8) the top slice wrapped int8 and the
+    diagonal scales mismatched, producing garbage J."""
+    outs = {}
+    for leg in ("dot", "ozaki"):
+        cfg = SolverConfig(nk=32, fft_mode="matmul", out_leg=leg,
+                           tab_leg="dot", pz_leg="dot", fwd_leg="dot")
+        g = make_grids(cfg)
+        k = np.asarray(g.k)
+        qq = k / 0.15
+        T = (np.log(1 + 2.34 * qq) / (2.34 * qq)
+             / (1 + 3.89 * qq + (16.1 * qq) ** 2 + (5.46 * qq) ** 3
+                + (6.71 * qq) ** 4) ** 0.25)
+        P = 4.0e6 * k ** 0.96 * T * T
+        lnP3 = jnp.broadcast_to(jnp.log(jnp.asarray(P)), (3, g.nk))
+        ec = fastpt.engine_consts(cfg, "matmul")
+        P_ext = fastpt.extend_power(cfg, lnP3, 0.96, ec)
+        Jw, _, _ = fastpt.compute_J_PZ_windowed(cfg, P_ext, True,
+                                                "matmul", ec)
+        outs[leg] = np.asarray(Jw)
+    dev = (np.abs(outs["dot"] - outs["ozaki"]).max()
+           / np.abs(outs["dot"]).max())
+    assert dev < 1e-11

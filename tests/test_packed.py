@@ -73,3 +73,27 @@ def test_packed_rejects_one_loop():
     with pytest.raises(NotImplementedError):
         driver.run_batch(CFG, s1l, cosmos, lins, mode="fft",
                          scheduler="packed")
+
+
+def test_packed_f32_stepping_traces():
+    """Regression: evolve_packed must cast the model/engine tables in
+    f32 stepping mode like trg.evolve, or the while_loop carry dtype
+    diverges at trace time.  (CPU f32 is slow — keep this tiny.)"""
+    cfg = SolverConfig(nk=32, fft_mode="fft", dtype="float32")
+    lin = _example_inputs(cfg)
+    cosmos = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                    *[_cosmo(i) for i in range(2)])
+    lins = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *([lin] * 2))
+    settings = RunSettings(one_loop=False, z_out=(0.0,))
+    res = driver.run_batch(cfg, settings, cosmos, lins, mode="fft",
+                           scheduler="packed")
+    assert bool(jnp.isfinite(res.table).all())
+
+
+def test_packed_rejects_mesh():
+    from jax.sharding import Mesh
+    cosmos, lins = _batch(2)
+    mesh = Mesh(np.array(jax.devices("cpu")[:1]), ("batch",))
+    with pytest.raises(ValueError, match="packed"):
+        driver.run_batch(CFG, SETTINGS, cosmos, lins, mode="fft",
+                         scheduler="packed", mesh=mesh)

@@ -241,3 +241,17 @@ def test_tns_ab_combination():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         tns_ab(block[:, :16], 0.5)
+
+
+def test_mt_emulator_kgrid_structure():
+    """The Mira-Titan k grid (convert_pk.c:27-43): 50 log points on
+    [1e-3, 0.04), 150 linear on [0.04, 0.2], log to kmax beyond."""
+    from redtime_tpu.convert import mt_emulator_kgrid
+    k = mt_emulator_kgrid(3000)
+    assert len(k) == 3000 and np.all(np.diff(k) > 0)
+    assert k[0] == 1e-3
+    assert k[49] < 0.04 <= k[50] + 1e-12
+    np.testing.assert_allclose(k[199], 0.2, rtol=1e-12)
+    # linear region: constant spacing
+    assert np.allclose(np.diff(k[50:200]), k[51] - k[50], rtol=1e-9)
+    np.testing.assert_allclose(k[-1], 5.0, rtol=1e-12)
