@@ -57,10 +57,17 @@ long parse_table(const char *path, long ncols, double *out, long max_rows) {
         p++;
       continue;
     }
-    // parse one row
+    // parse one row, bounded to ONE line: bare strtod skips newlines,
+    // silently merging a short row with the following line(s) — e.g. a
+    // 7-column file read with ncols=13 would interleave garbage instead
+    // of erroring
     long c = 0;
     char *q = p;
     for (; c < ncols; c++) {
+      while (q < end && (*q == ' ' || *q == '\t' || *q == '\r'))
+        q++;
+      if (q >= end || *q == '\n' || *q == '#')
+        break; // row ended before ncols values
       errno = 0;
       char *next;
       double v = strtod(q, &next);
@@ -69,8 +76,14 @@ long parse_table(const char *path, long ncols, double *out, long max_rows) {
       out[rows * ncols + c] = v;
       q = next;
     }
-    if (c == ncols)
+    if (c == ncols) {
       rows++;
+    } else if (c > 0) {
+      // a numeric row with fewer than ncols columns: wrong-format or
+      // corrupt table — report it instead of guessing
+      free(buf);
+      return -3;
+    }
     // advance to end of line (ignore extra columns)
     p = q;
     while (p < end && *p != '\n')

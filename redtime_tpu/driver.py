@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from redtime_tpu import interp
 from redtime_tpu import model as mdl
 from redtime_tpu import trg
 from redtime_tpu.config import H0H, CosmoParams, RunSettings, SolverConfig
@@ -195,7 +196,8 @@ def build_output_block(cfg: SolverConfig, settings: RunSettings,
     return jnp.stack(cols, axis=1)
 
 
-def _check_settings(settings: RunSettings) -> None:
+def _check_settings(settings: RunSettings,
+                    cfg: SolverConfig | None = None) -> None:
     import numpy as _np
     z = _np.asarray(settings.z_out, dtype=float)
     if z.size == 0:
@@ -207,6 +209,19 @@ def _check_settings(settings: RunSettings) -> None:
     if z[0] > settings.z_in:
         raise ValueError(
             f"first output z={z[0]} precedes z_in={settings.z_in}")
+    if cfg is not None:
+        # growth-table range: the reference ABORTS on a outside
+        # [growth_a_min, growth_a_max] (AU_cosmological_parameters.h:
+        # 644-649); the table lookup here would silently edge-extrapolate
+        a_lo = 1.0 / (1.0 + settings.z_in)
+        a_hi = 1.0 / (1.0 + float(z[-1]))
+        if a_lo < cfg.growth_a_min or a_hi > cfg.growth_a_max:
+            raise ValueError(
+                f"a range [{a_lo:.3e}, {a_hi:.3e}] (z_in={settings.z_in}, "
+                f"z_out min={z[-1]}) exceeds the growth table "
+                f"[{cfg.growth_a_min}, {cfg.growth_a_max}] — the "
+                f"reference aborts here; widen growth_a_min/max or "
+                f"adjust z_in/z_out")
 
 
 def solve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
@@ -215,7 +230,7 @@ def solve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
     with cfg/settings static; pass ec=engine_consts(cfg, mode) from outside
     jit so the engine's large static arrays are parameters, not baked
     constants (TPU compile-time critical)."""
-    _check_settings(settings)
+    _check_settings(settings, cfg)
     ys, _ = trg.evolve(cfg, settings, model, mode, ec)
     return _finalize(cfg, settings, model, ys, mode, ec)
 
@@ -232,7 +247,15 @@ def _finalize(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
     table = jax.vmap(
         lambda yi, zi: build_output_block(cfg, settings, model, yi, zi,
                                           mode, ec))(ys, jnp.asarray(z_arr))
-    svs = jax.vmap(lambda zi: mdl.sigma_v2(model, zi))(jnp.asarray(z_arr))
+    # the reference evaluates sigma_v^2 at the HARDCODED k = 1e-3
+    # (AU_cosmological_parameters.h:963-970) independent of the grid; on
+    # the default grid that is exactly the first solver column
+    wsv = (None if cfg.kmin == 1e-3 else
+           jnp.asarray(interp.weight_matrix_np(
+               np.log(np.asarray(g.k)),
+               np.asarray([np.log(np.clip(1e-3, g.k[0], g.k[-1]))]))[0]))
+    svs = jax.vmap(lambda zi: mdl.sigma_v2(model, zi, wsv))(
+        jnp.asarray(z_arr))
     Hs = bg.H_H0(model.cosmo, jnp.asarray(a_arr)) * H0H
 
     return RunResult(

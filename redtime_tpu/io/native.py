@@ -74,7 +74,10 @@ def parse_table(path: str, ncols: int,
     if lib is None:
         data = np.loadtxt(path)
         if data.ndim == 1:
-            data = data[None, :]
+            # an empty/comment-only file gives shape (0,): promote to
+            # (0, ncols) so callers' "no parseable rows" checks fire
+            # instead of an opaque IndexError downstream
+            data = data[None, :] if data.size else data.reshape(0, ncols)
         return np.ascontiguousarray(data[:, :ncols])
     if max_rows is None:
         max_rows = _rows_upper_bound(path) // ncols
@@ -85,6 +88,11 @@ def parse_table(path: str, ncols: int,
         if rows == -2:      # buffer filled with data left over: retry bigger
             max_rows *= 2
             continue
+        if rows == -3:
+            raise ValueError(
+                f"{path}: a numeric row has fewer than {ncols} columns "
+                "(wrong-format or corrupt table — e.g. a classic 7-column "
+                "transfer file read with modern=True)")
         if rows < 0:
             raise IOError(f"native parse failed for {path}")
         return out[:rows].copy()
@@ -109,7 +117,10 @@ def parse_stack(paths: Sequence[str], ncols: int,
         if rows[i] == -2:   # truncated: re-parse this file with a grown buffer
             result.append(parse_table(p, ncols, max_rows * 2))
         elif rows[i] < 0:
-            raise IOError(f"native parse failed for {p}")
+            raise (ValueError(
+                f"{p}: a numeric row has fewer than {ncols} columns "
+                "(wrong-format or corrupt table)") if rows[i] == -3 else
+                IOError(f"native parse failed for {p}"))
         else:
             result.append(out[i, :rows[i]].copy())
     return result

@@ -66,29 +66,44 @@ def _tokens(path: str) -> List[str]:
 def read_params_file(path: str) -> ParamsFile:
     t = _tokens(path)
     it = iter(t)
+    pos = [0]
+
+    def nx() -> str:
+        # a truncated file otherwise surfaces as a bare StopIteration
+        # with no indication of which positional field was missing
+        try:
+            tok = next(it)
+        except StopIteration:
+            raise ValueError(
+                f"{path}: params file truncated — expected another token "
+                f"after {pos[0]} (schema: 9 floats, 4 switches, z_in, "
+                f"n_out + z list, transfer file, nu approx, nu root, "
+                f"n_interp + z strings)") from None
+        pos[0] += 1
+        return tok
 
     def nf() -> float:
-        return float(next(it))
+        return float(nx())
 
     def ni() -> int:
-        return int(next(it))
+        return int(nx())
 
     floats = [nf() for _ in range(9)]
     switches = [ni() for _ in range(4)]
     z_in = nf()
     n_out = ni()
     z_out = [nf() for _ in range(n_out)]
-    transfer_file = next(it)
+    transfer_file = nx()
     nu_approx = ni()
     if nu_approx != 0:
         raise ValueError(
             f"num_massive_nu_approx={nu_approx}: only CAMB interpolation "
             "(0) is supported, matching the reference")
-    nu_root = next(it)
+    nu_root = nx()
     n_interp = ni()
     if n_interp < 0:
         raise ValueError("negative num_interp_redshifts")
-    z_interp = [next(it) for _ in range(n_interp)]
+    z_interp = [nx() for _ in range(n_interp)]
 
     return ParamsFile(*floats, *switches, z_in, z_out, transfer_file,
                       nu_approx, nu_root, z_interp)
@@ -108,7 +123,10 @@ def write_params_file(path: str, p: ParamsFile) -> None:
               "# z outputs", " ".join(repr(z) for z in p.z_out),
               "# transfer file", p.transfer_file,
               "# nu approx", str(p.nu_approx),
-              "# nu transfer root", p.nu_transfer_root,
+              # an empty root would be a blank line the token stream
+              # drops, shifting every later positional field; the
+              # placeholder is never read when num_interp_redshifts == 0
+              "# nu transfer root", p.nu_transfer_root or "none",
               "# num interp redshifts", str(len(p.z_interp_str)),
               "# interp redshifts", " ".join(p.z_interp_str)]
     with open(path, "w") as f:

@@ -434,7 +434,12 @@ def comoving_distance_table(cfg: SolverConfig, c: CosmoParams,
 
 def h0_chi(cfg: SolverConfig, c: CosmoParams, a_in: float, eta):
     """H0*chi at eta = ln(a/a_in) (reference H0chi, :773-784): returns z
-    itself below z=1e-4, table interpolation otherwise."""
+    itself below z=1e-4, table interpolation otherwise.
+
+    SCALAR eta only (interp.interp1 is scalar; vmap for vectors), and the
+    1000-node table is rebuilt per call — this mirrors a dead reference
+    API (never called from main(), SURVEY section 2 #9h); callers looping
+    over eta should build `comoving_distance_table` once themselves."""
     eta_nodes, chi = comoving_distance_table(cfg, c, a_in)
     a = a_in * jnp.exp(jnp.asarray(eta))
     z = 1.0 / a - 1.0
@@ -442,8 +447,15 @@ def h0_chi(cfg: SolverConfig, c: CosmoParams, a_in: float, eta):
     return jnp.where(z <= 1e-4, z, val)
 
 
-def sigma_v2(model: Model, z):
-    """sigma_v^2(z) = D(z, kmin)^2 * sigma_v^2(0) (reference :963-970;
-    kmin_sv2 = 1e-3 is the first solver grid point)."""
+def sigma_v2(model: Model, z, lnk_sv2_weights=None):
+    """sigma_v^2(z) = D(z, k=1e-3)^2 * sigma_v^2(0) (reference :963-970).
+
+    The reference HARDCODES kmin_sv2 = 1e-3 independent of the solver
+    grid; on the default grid that is the first solver k, so D[0] is
+    exact.  For a non-default cfg.kmin, pass `lnk_sv2_weights` — the
+    static interpolation row over the solver lnk columns at ln(1e-3)
+    (driver builds it via interp.weight_row_np) — or D[0] is used with
+    the grid's own first point (documented deviation)."""
     D, _ = growth_D_f(model, z)
-    return D[0] * D[0] * model.sigmaV2_z0
+    Dv = D[0] if lnk_sv2_weights is None else lnk_sv2_weights @ D
+    return Dv * Dv * model.sigmaV2_z0

@@ -151,13 +151,21 @@ def integrate_interval(rhs: Callable, t0, t1, y0, h0,
 
         t_acc = jnp.where(final, t1, t + h_try)
         t_out = jnp.where(dec, t, t_acc)
-        y_out = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(dec, a, b), y, y_new)
+        # y is always a single array (rk_step stacks stages on it)
+        y_out = jnp.where(dec, y, y_new)
         return (t_out, y_out, h_next, n + 1)
 
     t0 = jnp.asarray(t0, dtype=jnp.float64)
     h0 = jnp.asarray(h0, dtype=jnp.float64)
     t, y, h, n = jax.lax.while_loop(cond, body, (t0, y0, h0, jnp.array(0)))
+    # Truncation guard: the loop can also exit at n == max_steps, or spin
+    # there after h underflows to 0 (persistent rejection: h *= 0.2 until
+    # it denormalizes; fac_inc cannot rescue 0).  The reference prints an
+    # integrator-failure warning (redTime.cc:1628-1632); here the state
+    # is POISONED with NaN instead, so the failure surfaces through the
+    # batch fault isolation (driver.finite_report names the model) rather
+    # than flowing on as a silently mid-interval table.
+    y = jnp.where(t >= t1, y, jnp.nan)
     if return_stats:
         return y, h, n     # n counts step ATTEMPTS (accepted + rejected)
     return y, h
