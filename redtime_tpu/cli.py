@@ -67,6 +67,13 @@ def cmd_run(args) -> int:
     res.table.block_until_ready()
     dt = time.time() - t0
 
+    from redtime_tpu.driver import finite_report
+    if len(finite_report(res)):
+        print(f"# {args.params}: solver produced non-finite output "
+              "(diverged/poisoned state) — refusing to write",
+              file=sys.stderr)
+        return 1
+
     out = open(args.output, "w") if args.output else sys.stdout
     write_result(out, res, os.path.basename(args.params))
     if args.output:
@@ -89,33 +96,47 @@ def cmd_batch(args) -> int:
 
     def outname(path):
         name = os.path.splitext(os.path.basename(path))[0]
-        return os.path.join(args.output_dir,
-                            name.replace("params_", "") + ".dat")
+        # strip only the PREFIX: replace() would mangle interior matches
+        # and collide distinct inputs onto one output path
+        if name.startswith("params_"):
+            name = name[len("params_"):]
+        return os.path.join(args.output_dir, name + ".dat")
 
     params_files = list(args.params_files)
     if args.skip_existing:
-        skipped = [p for p in params_files if os.path.exists(outname(p))]
-        params_files = [p for p in params_files
-                        if not os.path.exists(outname(p))]
+        exists = {p: os.path.exists(outname(p)) for p in params_files}
+        skipped = [p for p in params_files if exists[p]]
+        params_files = [p for p in params_files if not exists[p]]
         if skipped:
             print(f"# skipping {len(skipped)} already-produced outputs",
                   file=sys.stderr)
         if not params_files:
             return 0
-    args = argparse.Namespace(**{**vars(args),
-                                 "params_files": params_files})
 
     with timer.stage("load-inputs"):
-        loaded = [_load(path, args.modern) for path in args.params_files]
+        loaded = [_load(path, args.modern) for path in params_files]
     settings = loaded[0][2]
-    for path, (_, _, s, _) in zip(args.params_files, loaded):
+    for path, (_, _, s, _) in zip(params_files, loaded):
         if s != settings:
             raise SystemExit(
-                f"{path}: run settings differ from {args.params_files[0]}; "
+                f"{path}: run settings differ from {params_files[0]}; "
                 "a batch must share switches/redshifts (the reference's "
                 "batch loop shares them too)")
 
+    # a vmapped batch needs identical pytree leaf shapes; mixed designs
+    # (massless + massive nu, or different transfer row counts) would
+    # otherwise die in jnp.stack with no file named
     import jax.numpy as jnp
+    ref_shapes = jax.tree_util.tree_map(lambda x: jnp.shape(x),
+                                        loaded[0][1])
+    for path, (_, l, _, _) in zip(params_files[1:], loaded[1:]):
+        shapes = jax.tree_util.tree_map(lambda x: jnp.shape(x), l)
+        if shapes != ref_shapes:
+            raise SystemExit(
+                f"{path}: linear-input shapes differ from "
+                f"{params_files[0]} (e.g. massless vs massive-neutrino "
+                "models, or transfer files of different lengths); run "
+                "such designs as separate batches")
     cosmos = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[c for (_, _, _, c) in loaded])
     lins = jax.tree_util.tree_map(
@@ -141,19 +162,19 @@ def cmd_batch(args) -> int:
     # per-model failure detection: a diverged/NaN cosmology poisons only
     # its own lane (the reference batch loop dies on first failure,
     # runRedTimeBatch:2; here the rest of the design survives)
-    table = np.asarray(res.table)
-    bad = [args.params_files[i] for i in range(table.shape[0])
-           if not np.all(np.isfinite(table[i]))]
+    from redtime_tpu.driver import finite_report
+    bad_idx = set(int(i) for i in finite_report(res))
+    bad = [params_files[i] for i in sorted(bad_idx)]
 
     os.makedirs(args.output_dir, exist_ok=True)
     with timer.stage("write-outputs"):
-        for i, path in enumerate(args.params_files):
-            if args.params_files[i] in bad:
+        for i, path in enumerate(params_files):
+            if i in bad_idx:
                 continue
             one = jax.tree_util.tree_map(lambda x: x[i], res)
             write_result_to_path(outname(path), one,
                                  os.path.basename(path))
-    n = len(args.params_files)
+    n = len(params_files)
     print(f"# {n} cosmologies in {dt:.1f}s "
           f"({n / dt * 60:.1f} cosmologies/min)", file=sys.stderr)
     if args.timing:

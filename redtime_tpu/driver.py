@@ -322,11 +322,21 @@ def run_pipeline(cfg: SolverConfig, settings: RunSettings, c: CosmoParams,
 def finite_report(res: RunResult) -> np.ndarray:
     """Indices of batch lanes with non-finite output (per-model fault
     isolation: one diverged cosmology poisons only its own lane, unlike the
-    reference's fail-fast serial loop, runRedTimeBatch:2)."""
+    reference's fail-fast serial loop, runRedTimeBatch:2).  Checks the
+    header scalars too (sigma_v2/H come from the growth/background code
+    paths, separate from the evolved table)."""
     table = np.asarray(res.table)
-    if table.ndim == 3:          # unbatched result
-        table = table[None]
-    ok = np.isfinite(table).all(axis=tuple(range(1, table.ndim)))
+    batched = table.ndim == 4
+    nb = table.shape[0] if batched else 1
+
+    def lane_ok(x):
+        a = np.asarray(x).reshape(nb, -1) if batched \
+            else np.asarray(x).reshape(1, -1)
+        return np.isfinite(a).all(axis=1)
+
+    ok = lane_ok(table)
+    for x in (res.sigma_v2, res.H, res.sigmaV2_z0):
+        ok = ok & lane_ok(x)
     return np.nonzero(~ok)[0]
 
 

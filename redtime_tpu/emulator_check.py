@@ -66,9 +66,17 @@ def compare_outputs(ours: str, target: str, nk: int = 128,
 
 def assert_reference_criteria(res: ComparisonResult,
                               massive: bool = False) -> None:
-    """The reference CI thresholds (test_models.py:86-89, 156-159)."""
+    """The reference CI thresholds (test_models.py:86-89, 156-159).
+
+    Raises AssertionError explicitly — bare `assert` statements are
+    stripped under `python -O`, silently disabling the validation."""
     if massive:
-        assert res.max_abs < 5e-3, res.max_abs
-        assert res.q95 < 1e-3, res.q95
-    else:
-        assert res.max_abs < 1e-3, res.max_abs
+        if not res.max_abs < 5e-3:
+            raise AssertionError(
+                f"massive-nu max |dP/P| = {res.max_abs} >= 5e-3")
+        if not res.q95 < 1e-3:
+            raise AssertionError(
+                f"massive-nu q95 |dP/P| = {res.q95} >= 1e-3")
+    elif not res.max_abs < 1e-3:
+        raise AssertionError(
+            f"massless-nu max |dP/P| = {res.max_abs} >= 1e-3")

@@ -45,12 +45,10 @@ COL_K, COL_D, COL_F, COL_PCB, COL_BRAT, COL_DLNB, COL_PNU = range(7)
 def read_output_blocks(path: str, nk: int = 128) -> np.ndarray:
     """Parse a redTime output table -> [n_eta, nk, ncol] (data rows only;
     '#' headers stripped, consistent with the downstream parsers the
-    reference relies on, `src/convert_pt.c:126`)."""
-    data = np.loadtxt(path)
-    if data.shape[0] % nk != 0:
-        raise ValueError(
-            f"{path}: {data.shape[0]} rows is not a multiple of nk={nk}")
-    return data.reshape(-1, nk, data.shape[1])
+    reference relies on, `src/convert_pt.c:126`).  One parser for the
+    format: delegates to convert.read_redtime_table."""
+    from redtime_tpu.convert import read_redtime_table
+    return read_redtime_table(path, nk)
 
 
 def _hermite_lnln(a_nodes: np.ndarray, lnb: np.ndarray, slope: np.ndarray,
@@ -86,6 +84,18 @@ def reconstruct_linear(cfg: SolverConfig, p: ParamsFile,
     blocks: [n_eta, nk, ncol] from `read_output_blocks`, output redshifts
     ordered greatest-first (the params-file convention), last block z=0.
     """
+    if blocks.shape[0] != len(p.z_out):
+        raise ValueError(
+            f"output table has {blocks.shape[0]} redshift blocks but the "
+            f"params file lists {len(p.z_out)} outputs — mismatched "
+            "params/output pair (the beta densification would pair blocks "
+            "with the wrong scale factors)")
+    if not p.print_lin or blocks.shape[2] < 10:
+        raise ValueError(
+            "injected-linear reconstruction needs a PRINTLIN table (the "
+            "linear columns D/f/P_lin_cb/B/dlnB/P_lin_nu must be present; "
+            f"switch_print_linear={p.print_lin}, "
+            f"ncol={blocks.shape[2]})")
     if abs(p.z_out[-1]) > 1e-12:
         raise ValueError("injected-linear reconstruction needs a z=0 block "
                          f"(last output z is {p.z_out[-1]})")

@@ -109,7 +109,16 @@ def load_from_params(p: ParamsFile, base_dir: str = "",
                      modern: bool = False) -> LinearData:
     transfer = os.path.join(base_dir, p.transfer_file)
     # massless-nu runs skip the stack entirely (beta_P == 0 when f_nu tiny)
-    if p.Omega_nu / p.Omega_m < 1e-10 or len(p.z_interp_str) == 0:
+    if p.Omega_nu / p.Omega_m < 1e-10:
         return load_linear_data(transfer, [], [], modern)
+    if len(p.z_interp_str) == 0:
+        # silently dropping the stack would compute beta_P == 0 massive-nu
+        # physics; the reference reads n_interp_z files unconditionally
+        # when f_nu is massive (AU_cosmological_parameters.h:548-605)
+        raise ValueError(
+            f"Omega_nu={p.Omega_nu} is massive but the params file lists "
+            "no neutrino interpolation redshifts — the beta_P(a, k) table "
+            "cannot be built (provide the transfer stack, or set "
+            "Omega_nu=0 for a massless run)")
     return load_linear_data(transfer, p.nu_transfer_files(base_dir),
                             p.z_interp, modern)
