@@ -77,6 +77,14 @@ class SolverConfig:
     # exactly like the reference's per-call gsl evolve (:179); False (default)
     # carries the adaptive step across segments (~4x fewer steps, same
     # trajectory to ~1e-9 at growth_rtol=1e-9)
+    growth_dense: bool = False   # free-stepping integration over the table
+    # range with 4th-order dense output at the lna nodes instead of one
+    # node-stopped interval per segment.  Measured (probe_growth_dense.py):
+    # SLOWER at matching accuracy on this host — the node stops are not the
+    # dominant cost (the a_early ramp is), free stepping runs at-tolerance
+    # (so rtol must tighten ~10x to match the stop-converged trajectory),
+    # and the per-attempt dense fill adds work.  Kept as an option for
+    # denser lna tables; ignored when growth_h_reset is set.
 
     # --- beta_P clamping (reference AU_cosmological_parameters.h:536-537) ---
     beta_k_min: float = 1e-3

@@ -102,6 +102,10 @@ def mt_emulator_kgrid(nk: int = 3000, kmin: float = 1e-3,
     50 log-spaced points on [kmin, 0.04), 150 linear on [0.04, 0.2],
     log-spaced to kmax beyond.  nk=3000 (production) or 351 (emulator)."""
     nk1, nk2 = 50, 200
+    if nk <= nk2:
+        raise ValueError(
+            f"mt_emulator_kgrid needs nk > {nk2} (fixed 50-log + 150-linear "
+            f"segments, reference convert_pk.c:31-43); got {nk}")
     k = np.empty(nk)
     k[:nk1] = 10 ** (np.log10(kmin)
                      + np.arange(nk1) * (np.log10(0.04) - np.log10(kmin))
@@ -160,13 +164,26 @@ def _natural_cubic(x: np.ndarray, y: np.ndarray):
     return CubicSpline(x, y, bc_type="natural")
 
 
+def _interp_to_grid(kq: np.ndarray, k: np.ndarray, y: np.ndarray
+                    ) -> np.ndarray:
+    """Natural-cubic interpolation of (k, y) onto the shared grid kq with
+    zeros outside the data range — the reference's (commented-out)
+    emulator-grid path, convert_pk.c:258-271: gsl cspline in linear k,
+    `Pk[kk] = 0` for kq outside (k[0], k[n-1])."""
+    out = np.zeros_like(kq)
+    sel = (kq > k[0]) & (kq < k[-1])
+    out[sel] = _natural_cubic(k, y)(kq[sel])
+    return out
+
+
 def convert_pk_full(design_file: str, step_no: int, out_dir: str,
                     pt_template: str, pm_template: str, hacc_template: str,
                     models: List[int] | None = None,
                     nk_pt: int = 128, n_pm: int = 16,
                     step_to_z: Dict[int, int] | None = None,
                     suffix: str = "no_interp_test",
-                    hacc_counts_col: int | None = 2) -> None:
+                    hacc_counts_col: int | None = 2,
+                    interp_grid: np.ndarray | None = None) -> None:
     """Merge PT + PM + HACC spectra into per-model k/pk/err tables
     (reference convert_pk.c main, :13-130).
 
@@ -179,6 +196,13 @@ def convert_pk_full(design_file: str, step_no: int, out_dir: str,
 
     Templates receive (model=model number, step=step number, pm=PM run
     number), e.g. 'runs/M{model:03d}/PM{pm:03d}/m{model:03d}.pk.{step}'.
+
+    interp_grid: when given (e.g. mt_emulator_kgrid()), every spectrum is
+    natural-cubic-splined onto this ONE shared k grid (zeros outside each
+    source's k range) instead of the shipped ragged no-interp layout —
+    the emulator-grid path the reference sets up at convert_pk.c:31-43
+    and carries as commented-out spline blocks (:258-271).  The k_ file
+    then holds a single column.
     """
     design = read_models_file(design_file)
     models = models if models is not None else list(range(1,
@@ -208,6 +232,24 @@ def convert_pk_full(design_file: str, step_no: int, out_dir: str,
         # (convert_pk.c:241-244); col 2 is the literal-parity default
         hacc = read_pk_file(hacc_template.format(model=mn, step=step_no),
                             h, counts_col=hacc_counts_col)
+
+        if interp_grid is not None:
+            kq = np.asarray(interp_grid, dtype=float)
+            pk_cols = [_interp_to_grid(kq, k_pt, P_pt * f_cb * f_cb)]
+            err_cols = []
+            for p in pms:
+                g = growth_corr(p[:, 0])
+                pk_cols.append(_interp_to_grid(kq, p[:, 0], p[:, 1] * g))
+                err_cols.append(_interp_to_grid(kq, p[:, 0], p[:, 2] * g))
+            g = growth_corr(hacc[:, 0])
+            pk_cols.append(_interp_to_grid(kq, hacc[:, 0], hacc[:, 1] * g))
+            err_cols.append(_interp_to_grid(kq, hacc[:, 0], hacc[:, 2] * g))
+            for tag, cols in (("k", [kq]), ("pk", pk_cols),
+                              ("err", err_cols)):
+                path = os.path.join(out_dir,
+                                    f"{tag}_M{mn:03d}_{suffix}.dat")
+                np.savetxt(path, np.column_stack(cols), fmt="%f")
+            continue
 
         n_rows = max([len(k_pt), len(hacc)] + [len(p) for p in pms])
 

@@ -24,7 +24,7 @@ from redtime_tpu import interp
 from redtime_tpu.config import CosmoParams, SolverConfig
 from redtime_tpu.grids import make_grids
 from redtime_tpu.io.camb import LinearData
-from redtime_tpu.ode import DOPRI5, integrate_interval
+from redtime_tpu.ode import DOPRI5, integrate_dense, integrate_interval
 
 
 class Model(NamedTuple):
@@ -216,6 +216,15 @@ def build_growth_tables(cfg: SolverConfig, c: CosmoParams, lin: LinearData):
         # rows store (G, dD/da) up to the common a_early scale, which
         # cancels in growth_D_f's normalization: w == (D/a) * a_early
         first = y
+
+        if cfg.growth_dense and not cfg.growth_h_reset:
+            # free stepping over the whole table range with dense output at
+            # the lna nodes — step count set by stiffness, not by the 101
+            # node stops (measured ~3x fewer controller attempts)
+            rows, _, _ = integrate_dense(
+                rhs, x_min, float(lna_nodes[-1]), y, h, 0.0, rtol,
+                jnp.asarray(lna_nodes[1:]), DOPRI5)
+            return jnp.concatenate([first[None, :], rows], axis=0)
 
         def seg(carry, xx):
             y, h = carry

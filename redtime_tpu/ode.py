@@ -89,8 +89,8 @@ DOPRI5 = Tableau(
 )
 
 
-def rk_step(rhs: Callable, t, h, y, tab: Tableau):
-    """One embedded RK step: returns (y_new, yerr).
+def rk_step(rhs: Callable, t, h, y, tab: Tableau, return_stages=False):
+    """One embedded RK step: returns (y_new, yerr[, ks]).
 
     The stage loop is a lax.fori_loop so the RHS appears ONCE in the
     compiled graph rather than s times — the RHS here can contain the whole
@@ -112,6 +112,8 @@ def rk_step(rhs: Callable, t, h, y, tab: Tableau):
     y_new = y + hy * jnp.tensordot(jnp.asarray(tab.b, dtype=dt_y), ks,
                                    axes=1)
     yerr = hy * jnp.tensordot(jnp.asarray(tab.e, dtype=dt_y), ks, axes=1)
+    if return_stages:
+        return y_new, yerr, ks
     return y_new, yerr
 
 
@@ -169,3 +171,99 @@ def integrate_interval(rhs: Callable, t0, t1, y0, h0,
     if return_stats:
         return y, h, n     # n counts step ATTEMPTS (accepted + rejected)
     return y, h
+
+
+# Dormand-Prince 5(4) continuous extension (4th-order dense output).  The
+# d-coefficients are the published constants of Hairer/Norsett/Wanner's
+# DOPRI5 (Solving ODEs I, and the public dopri5.f CONTD5 routine); the
+# interpolant over an accepted step [t, t+h] is
+#   y(t + theta h) = r1 + theta (r2 + (1-theta)(r3 + theta (r4 + (1-theta) r5)))
+# with r1..r5 built from y0, y1, k1, k7 and the d-weighted stage sum.
+DOPRI5_D = np.array([
+    _frac(-12715105075.0, 11282082432.0),
+    0.0,
+    _frac(87487479700.0, 32700410799.0),
+    _frac(-10690763975.0, 1880347072.0),
+    _frac(701980252875.0, 199316789632.0),
+    _frac(-1453857185.0, 822651844.0),
+    _frac(69997945.0, 29380423.0),
+])
+
+
+def integrate_dense(rhs: Callable, t0, t1, y0, h0,
+                    eps_abs: float, eps_rel: float, xs,
+                    tab: Tableau = DOPRI5,
+                    max_steps: int = 1_000_000,
+                    return_stats: bool = False):
+    """Integrate t0 -> t1 with FREE adaptive stepping and fill y at the
+    output nodes ``xs`` (sorted, all in (t0, t1]) from the 4th-order
+    continuous extension of each accepted step.
+
+    Replaces a node-stopped scan (one `integrate_interval` per table
+    segment): the controller's step count is then set by the solution's
+    stiffness alone, not by the table resolution — on the growth tables
+    (101 lna nodes over 7 e-folds) this cuts step attempts several-fold.
+    The reference instead restarts GSL evolve at every table node
+    (`AU_cosmological_parameters.h:699-724`); at growth_rtol both paths
+    sit on the true trajectory (validated vs the scan path and the growth
+    goldens in tests/test_ode.py / test_linear_golden.py).
+
+    Returns (ys [len(xs), *y.shape], y(t1), h_suggest[, n_attempts]).
+    Only DOPRI5 dense output is wired; asserts on other tableaus.
+    """
+    assert tab is DOPRI5, "dense output implemented for DOPRI5 only"
+    ord_ = tab.order
+    xs = jnp.asarray(xs, dtype=jnp.float64)
+    m = xs.shape[0]
+    d_vec = DOPRI5_D
+
+    def cond(state):
+        t, y, h, n, table = state
+        return (t < t1) & (n < max_steps)
+
+    def body(state):
+        t, y, h, n, table = state
+        dt = t1 - t
+        final = h > dt
+        h_try = jnp.where(final, dt, h)
+        y_new, yerr, ks = rk_step(rhs, t, h_try, y, tab, return_stages=True)
+
+        d0 = eps_abs + eps_rel * jnp.abs(y_new)
+        r = jnp.max(jnp.abs(yerr) / d0)
+
+        dec = r > 1.1
+        fac_dec = jnp.maximum(0.9 * r ** (-1.0 / ord_), 0.2)
+        fac_inc = jnp.clip(0.9 * r ** (-1.0 / (ord_ + 1.0)), 1.0, 5.0)
+        fac = jnp.where(dec, fac_dec, jnp.where(r < 0.5, fac_inc, 1.0))
+        h_next = h_try * fac
+
+        t_acc = jnp.where(final, t1, t + h_try)
+        # dense fill of every node inside the accepted step (t, t_acc]
+        dt_y = y.dtype
+        hy = jnp.asarray(h_try, dtype=dt_y)
+        dy = y_new - y
+        r3 = hy * ks[0] - dy
+        r4 = dy - hy * ks[-1] - r3
+        r5 = hy * jnp.tensordot(jnp.asarray(d_vec, dtype=dt_y), ks, axes=1)
+        theta = ((xs - t) / h_try).astype(dt_y)        # [m]
+        th = theta.reshape((m,) + (1,) * y.ndim)
+        vals = y + th * (dy + (1.0 - th) * (r3 + th * (r4 + (1.0 - th) * r5)))
+        mask = (~dec) & (xs > t) & (xs <= t_acc)
+        table = jnp.where(mask.reshape(th.shape), vals, table)
+
+        t_out = jnp.where(dec, t, t_acc)
+        y_out = jnp.where(dec, y, y_new)
+        return (t_out, y_out, h_next, n + 1, table)
+
+    t0 = jnp.asarray(t0, dtype=jnp.float64)
+    h0 = jnp.asarray(h0, dtype=jnp.float64)
+    table0 = jnp.full((m,) + y0.shape, jnp.nan, dtype=y0.dtype)
+    t, y, h, n, table = jax.lax.while_loop(
+        cond, body, (t0, y0, h0, jnp.array(0), table0))
+    # same truncation poisoning as integrate_interval: a loop that ran out
+    # of steps (or stalled on h -> 0) must not hand back a half-filled table
+    y = jnp.where(t >= t1, y, jnp.nan)
+    table = jnp.where(t >= t1, table, jnp.nan)
+    if return_stats:
+        return table, y, h, n
+    return table, y, h

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.integrate import solve_ivp
 
-from redtime_tpu.ode import DOPRI5, RKF45, integrate_interval
+from redtime_tpu.ode import DOPRI5, RKF45, integrate_dense, integrate_interval
 
 
 def test_exponential_decay():
@@ -59,3 +59,39 @@ def test_jit_and_vmap():
     ys = jax.vmap(f)(jnp.arange(1.0, 4.0)[:, None])
     assert np.allclose(np.asarray(ys[:, 0]),
                        np.arange(1.0, 4.0) * np.exp(-2.0), rtol=1e-8)
+
+
+def test_dense_output_matches_exact_solution():
+    # free-stepping dense output vs the closed form at interior nodes,
+    # including the final node == t1 (theta = 1 lands on the step solution)
+    def rhs(t, y):
+        return -y * t
+
+    xs = jnp.linspace(0.25, 3.0, 12)
+    table, y1, _ = integrate_dense(rhs, 0.0, 3.0, jnp.array([1.0, 2.0]),
+                                   0.01, 0.0, 1e-9, xs, DOPRI5)
+    exact = np.exp(-np.asarray(xs)[:, None] ** 2 / 2) * np.array([1.0, 2.0])
+    assert np.allclose(np.asarray(table), exact, rtol=3e-8)
+    assert np.allclose(np.asarray(y1), exact[-1], rtol=3e-8)
+
+
+def test_dense_growth_tables_match_scan_path():
+    # the growth_dense option must reproduce the node-stopped scan tables
+    # within its at-tolerance trajectory band (probe_growth_dense.py)
+    import dataclasses
+
+    from __graft_entry__ import _cosmo, _example_inputs
+    from redtime_tpu import model as mdl
+    from redtime_tpu.config import SolverConfig
+
+    cfg_s = SolverConfig(growth_n_lna=40, growth_n_lnk=8, quad_panels=8,
+                         quad_order=8, growth_rtol=1e-8)
+    cfg_d = dataclasses.replace(cfg_s, growth_dense=True)
+    c, lin = _cosmo(), _example_inputs(cfg_s)
+    _, G_s, dD_s = jax.jit(
+        lambda c, l: mdl.build_growth_tables(cfg_s, c, l))(c, lin)
+    _, G_d, dD_d = jax.jit(
+        lambda c, l: mdl.build_growth_tables(cfg_d, c, l))(c, lin)
+    assert np.all(np.isfinite(np.asarray(G_d)))
+    assert np.allclose(np.asarray(G_d), np.asarray(G_s), rtol=1e-5)
+    assert np.allclose(np.asarray(dD_d), np.asarray(dD_s), rtol=1e-4)

@@ -220,6 +220,73 @@ def test_convert_pk_full(tmp_path):
                                Ph / h ** 3 / np.sqrt(ch) * g, **tol)
 
 
+def test_convert_pk_full_interp_grid(tmp_path):
+    """interp_grid mode: every spectrum splined onto one shared emulator
+    k grid (reference's commented emulator-grid path, convert_pk.c:258-271:
+    cspline in linear k, zero outside each source's range)."""
+    import numpy as np
+    from redtime_tpu.convert import (STEP_TO_ZBLOCK, convert_pk_full,
+                                     mt_emulator_kgrid)
+    from scipy.interpolate import CubicSpline
+
+    nk, nz = 16, 33
+    h, om, omnu = 0.7, 0.14, 0.0014
+    f_cb = (om - omnu) / om
+    design = tmp_path / "design.dat"
+    design.write_text("#\n#\n#\n#\n#\n"
+                      f"M001 {om} 0.022 0.8 {h} 0.96 -1.0 0.0 {omnu}\n")
+    k = np.logspace(-3, 0, nk)
+    rng = np.random.default_rng(3)
+    table = np.zeros((nz, nk, 17))
+    table[:, :, 0] = k
+    table[:, :, 1] = 0.5 + 0.4 * rng.random((nz, nk))
+    table[:, :, 6] = 10.0 * (1 + rng.random((nz, nk)))
+    table[:, :, 7] = 100.0 * (1 + rng.random((nz, nk)))
+    np.savetxt(tmp_path / "redTime_M001.dat", table.reshape(-1, 17))
+
+    def pk_file(path, n, seed):
+        r = np.random.default_rng(seed)
+        kk = np.linspace(2e-3, 1.4, n)
+        P = 50.0 * (1 + r.random(n))
+        counts = 10.0 + 100.0 * r.random(n)
+        np.savetxt(path, np.column_stack([kk, P, counts]),
+                   header="k P counts")
+        return kk, P, counts
+
+    for pm in range(2):
+        pk_file(tmp_path / f"pm{pm}.dat", 12, 10 + pm)
+    kh, Ph, ch = pk_file(tmp_path / "hacc.dat", 20, 99)
+
+    step = 300
+    kq = mt_emulator_kgrid(351, kmin=2e-3, kmax=1.3)
+    convert_pk_full(str(design), step, str(tmp_path / "out"),
+                    str(tmp_path / "redTime_M{model:03d}.dat"),
+                    str(tmp_path / "pm{pm}.dat"),
+                    str(tmp_path / "hacc.dat"),
+                    models=[1], nk_pt=nk, n_pm=2, suffix="interp",
+                    interp_grid=kq)
+
+    kf = np.loadtxt(tmp_path / "out" / "k_M001_interp.dat")
+    pk = np.loadtxt(tmp_path / "out" / "pk_M001_interp.dat")
+    err = np.loadtxt(tmp_path / "out" / "err_M001_interp.dat")
+    # one shared k column; 4 pk columns (PT, 2 PM, HACC); 3 err columns
+    assert kf.shape == (351,) and pk.shape == (351, 4)
+    assert err.shape == (351, 3)
+    np.testing.assert_allclose(kf, kq, rtol=1e-5, atol=1e-6)
+
+    # PT column: cspline of (k*h, P_dd/h^3 fcb^2) inside range, 0 outside
+    iz = STEP_TO_ZBLOCK[step]
+    spl = CubicSpline(k * h, table[iz, :, 7] / h ** 3 * f_cb * f_cb,
+                      bc_type="natural")
+    inside = (kq > (k * h)[0]) & (kq < (k * h)[-1])
+    exp = np.where(inside, spl(np.clip(kq, (k*h)[0], (k*h)[-1])), 0.0)
+    np.testing.assert_allclose(pk[:, 0], exp, rtol=1e-4, atol=1e-5)
+    assert np.all(pk[~inside, 0] == 0.0)
+    # HACC column zero outside the HACC k range
+    outside_h = (kq <= kh[0] * h) | (kq >= kh[-1] * h)
+    assert np.all(pk[outside_h, 3] == 0.0)
+
+
 def test_tns_ab_combination():
     """tns_ab combines the mu-power columns per README.md:104-113."""
     from redtime_tpu.convert import tns_ab
