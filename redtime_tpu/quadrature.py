@@ -38,6 +38,8 @@ reference's discretization.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 from numpy.polynomial.legendre import leggauss
 
@@ -137,3 +139,114 @@ def pz_quadrature(cfg: SolverConfig, P_ext: np.ndarray, k: np.ndarray,
                                     cfg.z_taylor_terms) for r in q / kv])
         out[i] = np.sum(wlq * q ** 3 * Z * Pq) / (2.0 * np.pi ** 2)
     return out
+
+
+# ---------------------------------------------------------------------------
+# GSL-replica adaptive Gauss-Kronrod quadrature (jittable)
+
+def qk61(f, a, b):
+    """One 61-point Gauss-Kronrod application on [a, b] with QUADPACK's
+    error estimate (the rule GSL's qag uses at key=6;
+    quadpack dqk61 / gsl qk61.c semantics):
+
+        resk   = Kronrod result, resg = embedded Gauss-30 result
+        resasc = int |f - resk/(b-a)|  (Kronrod-weighted)
+        err    = |resk - resg| -> resasc * min(1, (200 err / resasc)^1.5)
+        err    = max(50 eps * resabs, err)   (roundoff floor)
+
+    f must accept a [61] array.  Returns (result, abserr, resabs, resasc).
+    Traceable; nodes/weights derived from first principles in
+    redtime_tpu/_gk61.py (scripts/gen_gk61.py)."""
+    from redtime_tpu._gk61 import WG30, WGK61, XGK61
+
+    a = jnp.asarray(a, jnp.float64)
+    b = jnp.asarray(b, jnp.float64)
+    c = 0.5 * (a + b)
+    h = 0.5 * (b - a)
+    fv = f(c + h * jnp.asarray(XGK61))
+    resk = jnp.asarray(WGK61) @ fv
+    resg = jnp.asarray(WG30) @ fv[1::2]
+    resabs = jnp.asarray(WGK61) @ jnp.abs(fv)
+    reskh = 0.5 * resk
+    resasc = jnp.asarray(WGK61) @ jnp.abs(fv - reskh)
+    ah = jnp.abs(h)
+    result = resk * h
+    resabs = resabs * ah
+    resasc = resasc * ah
+    err = jnp.abs((resk - resg) * h)
+    scaled = resasc * jnp.minimum(
+        1.0, (200.0 * err / jnp.maximum(resasc, 1e-300)) ** 1.5)
+    err = jnp.where((resasc != 0.0) & (err != 0.0), scaled, err)
+    eps50 = 50.0 * np.finfo(np.float64).eps
+    err = jnp.where(resabs > np.finfo(np.float64).tiny / eps50,
+                    jnp.maximum(eps50 * resabs, err), err)
+    return result, err, resabs, resasc
+
+
+def qag_gk61(f, a, b, epsabs: float = 0.0, epsrel: float = 1e-4,
+             limit: int = 100):
+    """Adaptive quadrature replicating gsl_integration_qag(key=6)
+    (QUADPACK dqage): apply GK61, then repeatedly bisect the interval
+    with the largest error estimate until
+
+        sum_i abserr_i <= max(epsabs, epsrel * |sum_i result_i|).
+
+    GSL keeps the left half in the bisected interval's workspace slot and
+    appends the right half; the returned result is the slot-order sum —
+    reproduced here so the discretization (and its fp summation order)
+    matches the reference's normalization integrals
+    (`AU_cosmological_parameters.h:849-874,940-952`, ws_size 1000,
+    epsabs 0, epsrel 1e-4).  One fixed-size lax.while_loop; f must accept
+    a 1-D array.  On hitting `limit` the result is POISONED with NaN
+    (GSL's default error handler aborts the process there).
+
+    Returns (result, abserr)."""
+    r0, e0, _, _ = qk61(f, a, b)
+    A = jnp.zeros(limit, jnp.float64).at[0].set(a)
+    B = jnp.zeros(limit, jnp.float64).at[0].set(b)
+    R = jnp.zeros(limit, jnp.float64).at[0].set(r0)
+    E = jnp.zeros(limit, jnp.float64).at[0].set(e0)
+
+    def errbnd(R):
+        return jnp.maximum(epsabs, epsrel * jnp.abs(jnp.sum(R)))
+
+    def cond(st):
+        A, B, R, E, n = st
+        return (jnp.sum(E) > errbnd(R)) & (n < limit)
+
+    def body(st):
+        A, B, R, E, n = st
+        i = jnp.argmax(E)
+        ai, bi = A[i], B[i]
+        m = 0.5 * (ai + bi)
+        # one batched f evaluation for both halves
+        from redtime_tpu._gk61 import WG30, WGK61, XGK61
+        c1, h1 = 0.5 * (ai + m), 0.5 * (m - ai)
+        c2, h2 = 0.5 * (m + bi), 0.5 * (bi - m)
+        xs = jnp.stack([c1 + h1 * jnp.asarray(XGK61),
+                        c2 + h2 * jnp.asarray(XGK61)])
+        fv = f(xs.reshape(-1)).reshape(2, -1)        # [2, 61]; f takes 1-D
+        wgk, wg = jnp.asarray(WGK61), jnp.asarray(WG30)
+        hh = jnp.stack([h1, h2])
+        resk = fv @ wgk
+        resg = fv[:, 1::2] @ wg
+        resabs = jnp.abs(fv) @ wgk * jnp.abs(hh)
+        resasc = jnp.abs(fv - 0.5 * resk[:, None]) @ wgk * jnp.abs(hh)
+        res = resk * hh
+        err = jnp.abs((resk - resg) * hh)
+        scaled = resasc * jnp.minimum(
+            1.0, (200.0 * err / jnp.maximum(resasc, 1e-300)) ** 1.5)
+        err = jnp.where((resasc != 0.0) & (err != 0.0), scaled, err)
+        eps50 = 50.0 * np.finfo(np.float64).eps
+        err = jnp.where(resabs > np.finfo(np.float64).tiny / eps50,
+                        jnp.maximum(eps50 * resabs, err), err)
+        A = A.at[i].set(ai).at[n].set(m)
+        B = B.at[i].set(m).at[n].set(bi)
+        R = R.at[i].set(res[0]).at[n].set(res[1])
+        E = E.at[i].set(err[0]).at[n].set(err[1])
+        return A, B, R, E, n + 1
+
+    A, B, R, E, n = jax.lax.while_loop(cond, body, (A, B, R, E,
+                                                    jnp.asarray(1)))
+    done = jnp.sum(E) <= errbnd(R)
+    return jnp.where(done, jnp.sum(R), jnp.nan), jnp.sum(E)

@@ -63,13 +63,15 @@ def test_rsd_columns_scaled(result):
     controller's knife-edge noise; the reference's own loose-tolerance
     trajectories deviate from a tight-tolerance solve by 1e-4..7e-4, and
     every column's deviation here sits BELOW that band (dev/band 0.05-0.90
-    — measured artifact: docs/PARITY_BAND.md, scripts/parity_band.py)."""
+    — measured artifact: docs/PARITY_BAND.md, scripts/parity_band.py).
+    The qag (GSL-replica) normalization default tightened the worst
+    early-block deviation 2.98e-4 -> 1.83e-4."""
     table, golden = result
     for c in range(10, 17):
         for iz in range(7):
             g, m = golden[iz, :, c], table[iz, :, c]
             err = np.max(np.abs(m - g)) / np.max(np.abs(g))
-            tol = 4e-4 if iz < 2 else 2e-4
+            tol = 3e-4 if iz < 2 else 2e-4
             assert err < tol, (c, iz, err)
 
 

@@ -84,3 +84,78 @@ def test_pz_matches_continuum(engine_J, fi, n):
     peak = np.abs(PZw[fi, 0, 0]).max()
     tol = 3e-3 if n < 0 else 4e-2
     assert np.abs(pq - pf).max() <= tol * peak
+
+
+# ---------------------------------------------------------------------------
+# GSL-replica adaptive GK61 (qag)
+
+def test_qk61_rule_exactness_and_embedded_gauss():
+    """The generated rule must integrate polynomials exactly: degree 90
+    for the Kronrod part (61 points, Stieltjes construction), degree 59
+    for the embedded Gauss-30, and match numpy's leggauss."""
+    from redtime_tpu._gk61 import WG30, WGK61, XGK61
+
+    xg, wg = np.polynomial.legendre.leggauss(30)
+    order = np.argsort(xg)
+    np.testing.assert_allclose(XGK61[1::2], xg[order], atol=1e-15, rtol=0)
+    np.testing.assert_allclose(WG30, wg[order], atol=5e-15, rtol=0)
+    for deg in (0, 17, 60, 89, 90):
+        exact = 2.0 / (deg + 1) if deg % 2 == 0 else 0.0
+        got = float(WGK61 @ XGK61 ** deg)
+        assert abs(got - exact) < 5e-15, (deg, got, exact)
+    # (the formal degree of exactness is 3*30+1 = 91, but the rule's true
+    # error on slightly higher even monomials sits below f64 eps, so a
+    # negative check is not meaningful in double precision)
+
+
+def test_qag_matches_scipy_quadpack():
+    """qag_gk61 vs scipy.integrate.quad (wraps QUADPACK) on smooth
+    integrands at the reference's (epsabs=0, epsrel=1e-4) settings."""
+    import jax
+    from scipy.integrate import quad
+
+    cases = [
+        (lambda x: jnp.exp(x), lambda x: np.exp(x), -1.0, 3.0),
+        (lambda x: 1.0 / (1.0 + x * x), lambda x: 1.0 / (1.0 + x * x),
+         -15.0, 15.0),
+        (lambda x: jnp.exp(-0.5 * x * x) * (2.0 + jnp.sin(3.0 * x)),
+         lambda x: np.exp(-0.5 * x * x) * (2.0 + np.sin(3.0 * x)),
+         -15.0, 15.0),
+    ]
+    for f, nf, a, b in cases:
+        r, e = jax.jit(
+            lambda: quadrature.qag_gk61(f, a, b, 0.0, 1e-4, 100))()
+        rs, _ = quad(nf, a, b, epsabs=0.0, epsrel=1e-4, limit=1000)
+        assert np.isfinite(float(r))
+        assert abs(float(r) - rs) <= 1e-10 * abs(rs)
+        assert float(e) <= 1e-4 * abs(rs)
+
+
+def test_qag_poisons_on_limit():
+    """A non-convergent request (zero integral, epsrel-only bound) must
+    poison with NaN — the loud analog of GSL's abort-by-default."""
+    import jax
+
+    r, _ = jax.jit(lambda: quadrature.qag_gk61(
+        lambda x: jnp.sin(20.0 * x), -15.0, 15.0, 0.0, 1e-4, 16))()
+    assert np.isnan(float(r))
+
+
+def test_prepare_model_qag_matches_gl():
+    """quad_impl='qag' normalization agrees with the GL-panel default to
+    the GL rule's own accuracy (~3e-6), massless and massive."""
+    import dataclasses
+
+    import jax
+
+    from __graft_entry__ import _cosmo, _example_inputs
+    from redtime_tpu import model as mdl
+
+    cfg = SolverConfig(growth_n_lna=10, growth_n_lnk=6)
+    cfg_q = dataclasses.replace(cfg, quad_impl="qag")
+    for nu in (True, False):
+        c, lin = _cosmo(), _example_inputs(cfg, nu=nu)
+        m = jax.jit(lambda c, l: mdl.prepare_model(cfg, c, l))(c, lin)
+        mq = jax.jit(lambda c, l: mdl.prepare_model(cfg_q, c, l))(c, lin)
+        assert abs(float(mq.norm / m.norm) - 1.0) < 1e-5
+        assert abs(float(mq.sigmaV2_z0 / m.sigmaV2_z0) - 1.0) < 1e-5
