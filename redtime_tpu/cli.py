@@ -53,6 +53,14 @@ def _load(params_path: str, modern: bool):
     return p, lin, settings, cosmo
 
 
+def _maybe_show_legs(args, cfg) -> None:
+    if getattr(args, "show_legs", False):
+        from redtime_tpu.fastpt import resolved_legs
+
+        print(f"# resolved engine legs: {resolved_legs(cfg, args.mode)}",
+              file=sys.stderr)
+
+
 def cmd_run(args) -> int:
     _setup_jax(args.platform)
     from redtime_tpu.config import SolverConfig
@@ -61,6 +69,7 @@ def cmd_run(args) -> int:
 
     p, lin, settings, cosmo = _load(args.params, args.modern)
     cfg = SolverConfig(fft_mode=args.mode, dtype=args.dtype)
+    _maybe_show_legs(args, cfg)
 
     t0 = time.time()
     res = run_pipeline(cfg, settings, cosmo, lin, mode=args.mode)
@@ -92,6 +101,7 @@ def cmd_batch(args) -> int:
     from redtime_tpu.profiling import StageTimer, device_trace
 
     cfg = SolverConfig(fft_mode=args.mode, dtype=args.dtype)
+    _maybe_show_legs(args, cfg)
     timer = StageTimer(enabled=args.timing)
 
     def outname(path):
@@ -221,6 +231,9 @@ def main(argv=None) -> int:
                         choices=["float64", "float32"],
                         help="solver stepping dtype (float32 = TPU "
                         "throughput mode, ~1e-4 accuracy)")
+    common.add_argument("--show-legs", action="store_true",
+                        help="print the resolved engine legs (which "
+                        "'auto' knobs engaged their MXU fast path)")
 
     r = sub.add_parser("run", parents=[common],
                        help="solve one params_redTime.dat")

@@ -102,8 +102,9 @@ class SolverConfig:
     # reproducing the reference's normalization discretization exactly
     # (cost-neutral: ~1.3% of prepare).  'gl': fixed GL panels (differ
     # ~6e-7; error far below the reference's requested 1e-4)
-    qag_limit: int = 100         # max subintervals (reference ws_size 1000;
-    # the sigma_8 / sigma_v^2 integrands converge in < 30)
+    qag_limit: int = 1000        # max subintervals (= reference ws_size;
+    # the sigma_8 / sigma_v^2 integrands converge in < 30, but a matching
+    # workspace keeps pathological inputs converging wherever GSL would)
 
     # --- output print switches (reference redTime.cc:64-65) ---
     print_a: bool = False        # PRINTA
@@ -154,6 +155,13 @@ class SolverConfig:
     # contraction dim folded into the activation, exact f64 multiplies)
     # the int8 scheme reproduces the f64 einsum to ~1e-16 of the result
     # maximum (scripts/probe_pz_ozaki.py).  'auto' = ozaki on TPU.
+    oz_budget_bytes: int = 0     # HBM budget for the Ozaki int8 diagonal
+    # packs; 0 = auto (fastpt.OZ_AUTO_BUDGET, 6 GB — admits the full
+    # nk=512 pack set, ~2.6 GB).  'auto' legs are enabled greedily in
+    # measured-benefit order (out > tab > pz > fwd) while they fit; legs
+    # explicitly set to 'ozaki' are always built.  When an 'auto' leg is
+    # dropped on the TPU, a one-time stderr note announces the fallback
+    # (fastpt.resolved_legs shows the live resolution).
     conv_radix: int = 4          # radix of the split-DIT forward DFT on
     # the windowed output leg (matmul mode): the length-2np rfft of the
     # convolution product is computed as `conv_radix` interleaved

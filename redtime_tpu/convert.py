@@ -235,15 +235,19 @@ def convert_pk_full(design_file: str, step_no: int, out_dir: str,
 
         if interp_grid is not None:
             kq = np.asarray(interp_grid, dtype=float)
+            # Reference order of operations (the commented emulator-grid
+            # path, convert_pk.c:258-271 + main loop): spline the RAW
+            # P/err onto the shared grid first, then apply the growth
+            # correction evaluated AT the grid k — not the other way
+            # around (the two differ at second order where D(k) curves).
+            gq = growth_corr(kq)
             pk_cols = [_interp_to_grid(kq, k_pt, P_pt * f_cb * f_cb)]
             err_cols = []
             for p in pms:
-                g = growth_corr(p[:, 0])
-                pk_cols.append(_interp_to_grid(kq, p[:, 0], p[:, 1] * g))
-                err_cols.append(_interp_to_grid(kq, p[:, 0], p[:, 2] * g))
-            g = growth_corr(hacc[:, 0])
-            pk_cols.append(_interp_to_grid(kq, hacc[:, 0], hacc[:, 1] * g))
-            err_cols.append(_interp_to_grid(kq, hacc[:, 0], hacc[:, 2] * g))
+                pk_cols.append(_interp_to_grid(kq, p[:, 0], p[:, 1]) * gq)
+                err_cols.append(_interp_to_grid(kq, p[:, 0], p[:, 2]) * gq)
+            pk_cols.append(_interp_to_grid(kq, hacc[:, 0], hacc[:, 1]) * gq)
+            err_cols.append(_interp_to_grid(kq, hacc[:, 0], hacc[:, 2]) * gq)
             for tag, cols in (("k", [kq]), ("pk", pk_cols),
                               ("err", err_cols)):
                 path = os.path.join(out_dir,

@@ -304,12 +304,13 @@ def _oz_pairs(sa: int, sb: int, cut: int) -> int:
                for d in range(cut + 1))
 
 
-def _oz_legs_fit(cfg: SolverConfig, budget_bytes: int = 10 ** 9) -> bool:
-    """The int8 diagonal packs scale as (pair count) x NFAM x 2np x (nk+1)
-    for the out leg plus (pair count) x np x 2np for the tab leg and
-    (pair count) x np x 7nk for the PZ leg — ~100 MB at nk=128 but
-    several GB at nk=512 (HIGH_ACCURACY), where they would crowd HBM.
-    Large grids fall back to the emulated-f64 dots."""
+def _oz_leg_bytes(cfg: SolverConfig) -> dict:
+    """Per-leg int8 diagonal-pack sizes in bytes.  The packs scale as
+    (pair count) x NFAM x 2np x (nk+1) for the out leg plus
+    (pair count) x np x 2np for the tab leg and (pair count) x np x 7nk
+    for the PZ leg — ~100 MB total at nk=128, ~2.6 GB at nk=512
+    (HIGH_ACCURACY).  'fwd' covers both the Pab-extension and forward-
+    transform packs (they are built together)."""
     K = 2 * cfg.npts
     q = min(_oz_q(K), 7)
     sa, sb = -(-56 // q), -(-53 // q)
@@ -325,7 +326,37 @@ def _oz_legs_fit(cfg: SolverConfig, budget_bytes: int = 10 ** 9) -> bool:
                       max(_oz_sa(qe), -(-53 // qe)) - 1) \
         * cfg.nk * cfg.npts
     fwd_b = _oz_pairs(sat, sbt, max(sat, sbt) - 1) * cfg.npts * cfg.npts
-    return out_b + tab_b + pz_b + ext_b + fwd_b <= budget_bytes
+    return {"out": out_b, "tab": tab_b, "pz": pz_b, "fwd": ext_b + fwd_b}
+
+
+def _oz_enabled(cfg: SolverConfig) -> frozenset:
+    """Which Ozaki const packs to build, chosen PER LEG under the HBM
+    budget (cfg.oz_budget_bytes; 0 = auto) instead of all-or-nothing:
+    legs explicitly set to 'ozaki' are always built (the user asked);
+    'auto' legs are added greedily in measured-benefit order
+    (out > tab > pz > fwd, the round-2 throughput progression in
+    docs/TPU_NOTES.md) while they fit.  At nk=512 the default budget
+    admits every leg (~2.6 GB of int8 on a 16 GB v5e)."""
+    legs = _oz_leg_bytes(cfg)
+    knobs = {"out": cfg.out_leg, "tab": cfg.tab_leg,
+             "pz": cfg.pz_leg, "fwd": cfg.fwd_leg}
+    budget = cfg.oz_budget_bytes if cfg.oz_budget_bytes > 0 \
+        else OZ_AUTO_BUDGET
+    enabled = {l for l in legs if knobs[l] == "ozaki"}
+    spent = sum(legs[l] for l in enabled)
+    for l in ("out", "tab", "pz", "fwd"):
+        if knobs[l] == "auto" and l not in enabled \
+                and spent + legs[l] <= budget:
+            enabled.add(l)
+            spent += legs[l]
+    return frozenset(enabled)
+
+
+# Auto HBM budget for the int8 packs.  Measured: the full nk=512 pack set
+# (~2.6 GB) loads and runs on a 16 GB v5e alongside the f64 engine
+# constants and the solve working set; 6 GB leaves the same headroom
+# proportionally for nk=1024-class grids to drop their largest legs.
+OZ_AUTO_BUDGET = 6 * 10 ** 9
 
 
 @functools.lru_cache(maxsize=8)
@@ -680,6 +711,7 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
     g = make_grids(cfg)
     co = fastpt_coeffs(cfg)
     M, v = _pab_ext(cfg)
+    _note_leg_resolution(cfg, mode)
     use_matmul = fourier._resolve(mode) == "matmul"
     tdt = (jnp.float32 if cfg.engine_transform_dtype == "float32"
            else jnp.float64)
@@ -720,14 +752,14 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
             "oz_row": jnp.asarray(_ozaki_out_consts(cfg)[4])}
            if (use_matmul and cfg.conv_impl == "fft"
                and cfg.engine_transform_dtype == "float64"
-               and cfg.out_leg != "dot" and _oz_legs_fit(cfg))
+               and "out" in _oz_enabled(cfg))
            else {}),
         **({"oz_b_diags": tuple(jnp.asarray(d)
                                 for d in _ozaki_tab_consts(cfg)[0]),
             "oz_b_scale": jnp.asarray(_ozaki_tab_consts(cfg)[1])}
            if (use_matmul and cfg.conv_impl == "fft"
                and cfg.engine_transform_dtype == "float64"
-               and cfg.tab_leg != "dot" and _oz_legs_fit(cfg))
+               and "tab" in _oz_enabled(cfg))
            else {}),
         **({"oz_t_diags": tuple(jnp.asarray(d)
                                 for d in _ozaki_pz_consts(cfg)[0]),
@@ -735,7 +767,7 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
             "oz_t_row": jnp.asarray(_ozaki_pz_consts(cfg)[2])}
            if (use_matmul and cfg.conv_impl == "fft"
                and cfg.engine_transform_dtype == "float64"
-               and cfg.pz_leg != "dot" and _oz_legs_fit(cfg))
+               and "pz" in _oz_enabled(cfg))
            else {}),
         **({"oz_e_diags": tuple(jnp.asarray(d)
                                 for d in _ozaki_fwd_consts(cfg)[0][0]),
@@ -747,7 +779,7 @@ def engine_consts(cfg: SolverConfig, mode: str = "auto") -> EngineConsts:
             "oz_f_row": jnp.asarray(_ozaki_fwd_consts(cfg)[1][2])}
            if (use_matmul and cfg.conv_impl == "fft"
                and cfg.engine_transform_dtype == "float64"
-               and cfg.fwd_leg != "dot" and _oz_legs_fit(cfg))
+               and "fwd" in _oz_enabled(cfg))
            else {}),
         **({"asm_C": jnp.asarray(_asm_consts_np(cfg)[0]),
             "asm_kw": jnp.asarray(_asm_consts_np(cfg)[1]),
@@ -772,6 +804,68 @@ def _fwd_leg_resolved(cfg: SolverConfig) -> str:
     if leg == "auto":
         leg = "ozaki" if _target_platform() == "tpu" else "dot"
     return leg
+
+
+def resolved_legs(cfg: SolverConfig, mode: str = "auto") -> dict:
+    """What every engine leg ACTUALLY runs as for this (cfg, mode,
+    platform) — the resolved value of each 'auto' knob.  Keys:
+    out/tab/pz/fwd ('ozaki' | 'dot'), asm ('direct' | 'matmul'),
+    fft ('matmul' | 'fft'), interp/conv backends.  Use this (or the
+    CLI's --show-legs) to see whether the MXU fast paths are engaged."""
+    use_matmul = fourier._resolve(mode) == "matmul"
+    plat = _target_platform()
+    packed = (use_matmul and cfg.conv_impl == "fft"
+              and cfg.engine_transform_dtype == "float64")
+    enabled = _oz_enabled(cfg) if packed else frozenset()
+    res = {}
+    for leg, knob in (("out", cfg.out_leg), ("tab", cfg.tab_leg),
+                      ("pz", cfg.pz_leg), ("fwd", cfg.fwd_leg)):
+        want = knob if knob != "auto" else (
+            "ozaki" if plat == "tpu" else "dot")
+        res[leg] = "ozaki" if (want == "ozaki" and leg in enabled) \
+            else "dot"
+    res["asm"] = _asm_leg_resolved(cfg)
+    res["fft"] = "matmul" if use_matmul else "fft"
+    res["transform_dtype"] = cfg.engine_transform_dtype
+    return res
+
+
+_LEG_NOTES_EMITTED: set = set()
+
+
+def _note_leg_resolution(cfg: SolverConfig, mode: str) -> None:
+    """One-time stderr note when an 'auto' knob resolves AWAY from its
+    platform fast path (e.g. the Ozaki packs exceed the HBM budget on a
+    big grid) — so a silent order-of-magnitude cliff is announced
+    (round-2 VERDICT: the nk=512 fallback was invisible)."""
+    import sys as _sys
+
+    key = (cfg, mode, _target_platform())
+    if key in _LEG_NOTES_EMITTED:
+        return
+    _LEG_NOTES_EMITTED.add(key)
+    if _target_platform() != "tpu":
+        return
+    packed = (fourier._resolve(mode) == "matmul" and cfg.conv_impl == "fft"
+              and cfg.engine_transform_dtype == "float64")
+    if not packed:
+        # f32 engine / direct conv / fft mode are explicit config choices
+        # with their own documented cost model, not a silent fallback
+        return
+    res = resolved_legs(cfg, mode)
+    knobs = {"out": cfg.out_leg, "tab": cfg.tab_leg,
+             "pz": cfg.pz_leg, "fwd": cfg.fwd_leg}
+    slow = [l for l, knob in knobs.items()
+            if knob == "auto" and res[l] != "ozaki"]
+    if slow:
+        bts = _oz_leg_bytes(cfg)
+        detail = ", ".join(f"{l} ({bts[l] / 1e9:.2f} GB pack)"
+                           for l in slow)
+        print(f"# redtime_tpu: engine fast path DISENGAGED for leg(s) "
+              f"{detail} at nk={cfg.nk} — falling back to emulated-f64 "
+              f"dots (expect a large slowdown; raise "
+              f"SolverConfig.oz_budget_bytes or lower nk). Resolved legs: "
+              f"{res}", file=_sys.stderr)
 
 
 def extend_power(cfg: SolverConfig, lnP3: jnp.ndarray, n_s,

@@ -184,7 +184,7 @@ def qk61(f, a, b):
 
 
 def qag_gk61(f, a, b, epsabs: float = 0.0, epsrel: float = 1e-4,
-             limit: int = 100):
+             limit: int = 1000):
     """Adaptive quadrature replicating gsl_integration_qag(key=6)
     (QUADPACK dqage): apply GK61, then repeatedly bisect the interval
     with the largest error estimate until

@@ -50,7 +50,7 @@ def time_prepare(cfg, n=16, reps=3):
 
 
 def main():
-    cfg0 = SolverConfig()
+    cfg0 = SolverConfig(growth_dense=True)
     cfg_scan = dataclasses.replace(cfg0, growth_dense=False)
     c, lin = _cosmo(), _example_inputs(cfg0)
 
