@@ -268,12 +268,35 @@ def _finalize(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
 
 @functools.lru_cache(maxsize=32)
 def _jitted_solve_packed(cfg: SolverConfig, settings: RunSettings,
-                         mode: str, n_lanes: int):
-    """Work-queue batch solve (trg.evolve_packed) + vmapped finalize."""
+                         mode: str, n_lanes: int, mesh=None,
+                         axis: str = "batch"):
+    """Work-queue batch solve (trg.evolve_packed) + vmapped finalize.
+
+    With a mesh, each device runs its OWN work queue over its shard of the
+    batch axis (shard_map): the queues are independent — the Time-RG math
+    has no cross-cosmology coupling — so no collectives are needed beyond
+    the output gather, and per-device adaptive trajectories stay fully
+    asynchronous across the mesh."""
     def fn(ms, ec):
-        ys = trg.evolve_packed(cfg, settings, ms, n_lanes, mode, ec)
+        if mesh is None:
+            ys = trg.evolve_packed(cfg, settings, ms, n_lanes, mode, ec)
+        else:
+            from jax.sharding import PartitionSpec as P
+            # check_vma=False: the per-device queues are embarrassingly
+            # parallel (no collectives inside), and the RK stage loop's
+            # zeros-initialized carry trips the varying-manual-axes
+            # tracker for no semantic reason
+            ys = jax.shard_map(
+                lambda msl, ecl: trg.evolve_packed(
+                    cfg, settings, msl, n_lanes, mode, ecl),
+                mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis),
+                check_vma=False,
+            )(ms, ec)
         return jax.vmap(
             lambda m, ym: _finalize(cfg, settings, m, ym, mode, ec))(ms, ys)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.jit(fn, out_shardings=NamedSharding(mesh, P(axis)))
     return jax.jit(fn)
 
 
@@ -368,7 +391,8 @@ def _default_chunk(settings: RunSettings) -> int:
 
 def _run_batch_packed(cfg: SolverConfig, settings: RunSettings,
                       cs: CosmoParams, lins, mode: str,
-                      norm_override=None) -> RunResult:
+                      norm_override=None, mesh=None,
+                      axis: str = "batch") -> RunResult:
     """Packed work-queue batch: prepare all models (host CPU on
     accelerators — cheap and immune to device wedges), move the stacked
     pytree across once, then ONE device program in which lanes pull
@@ -376,24 +400,51 @@ def _run_batch_packed(cfg: SolverConfig, settings: RunSettings,
     Removes the chunked scheduler's per-segment lockstep syncs (~6%
     solve-only on homogeneous batches, more when stiffness varies);
     the chunked path keeps the end-to-end edge on uniform batches via
-    host-prepare/device-solve overlap."""
+    host-prepare/device-solve overlap.
+
+    With a mesh the batch is padded to a multiple of the device count and
+    each device runs an independent queue over its shard (shard_map)."""
     dev = _target_device()
     n = _batch_size(cs)
-    lanes = min(int(os.environ.get("REDTIME_LANES", "8")), n)
+    pad = 0
+    if mesh is not None:
+        nd = mesh.devices.size
+        pad = (-n) % nd
+        if pad:
+            grow = lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+            cs = jax.tree_util.tree_map(grow, cs)
+            lins = jax.tree_util.tree_map(grow, lins)
+            if norm_override is not None:
+                norm_override = grow(jnp.asarray(norm_override))
+        lanes = min(int(os.environ.get("REDTIME_LANES", "8")),
+                    (n + pad) // nd)
+    else:
+        lanes = min(int(os.environ.get("REDTIME_LANES", "8")), n)
     wn = norm_override is not None
     nrm = (jnp.asarray(norm_override),) if wn else ()
-    if dev.platform != "cpu":
+    if dev.platform != "cpu" or mesh is not None:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             ms = _jitted_prepare(cfg, True, wn)(
                 jax.device_put(cs, cpu), jax.device_put(lins, cpu),
                 *jax.device_put(nrm, cpu))
             jax.block_until_ready(ms)
-        ms = jax.device_put(ms, dev)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ms = jax.device_put(ms, NamedSharding(mesh, P(axis)))
+            ec = _device_ec(cfg, mode, NamedSharding(mesh, P()))
+        else:
+            ms = jax.device_put(ms, dev)
+            ec = _device_ec(cfg, mode, dev)
     else:
         ms = _jitted_prepare(cfg, True, wn)(cs, lins, *nrm)
-    return _jitted_solve_packed(cfg, settings, mode, lanes)(
-        ms, _device_ec(cfg, mode, dev))
+        ec = _device_ec(cfg, mode, dev)
+    res = _jitted_solve_packed(cfg, settings, mode, lanes, mesh, axis)(
+        ms, ec)
+    if pad:
+        res = jax.tree_util.tree_map(lambda x: x[:n], res)
+    return res
 
 
 def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
@@ -423,14 +474,8 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
         # heterogeneous batches with widely varying stiffness.
         scheduler = "chunked"
     if scheduler == "packed":
-        if mesh is not None:
-            raise ValueError(
-                "scheduler='packed' runs on a single device and cannot "
-                "honor a mesh; use the chunked scheduler for sharded "
-                "batches (REDTIME_SCHEDULER may be overriding the "
-                "scheduler argument)")
         return _run_batch_packed(cfg, settings, cs, lins, mode,
-                                 norm_override)
+                                 norm_override, mesh, axis)
     if max_chunk is None:
         max_chunk = int(os.environ.get("REDTIME_MAX_CHUNK",
                                        _default_chunk(settings))) \

@@ -338,10 +338,6 @@ def evolve_packed(cfg: SolverConfig, settings: RunSettings, models,
     models: stacked prepared-Model pytree [N, ...].
     Returns ys [N, S, NU_STATE, nk] (S = number of output redshifts).
     """
-    if settings.nonlinear and settings.one_loop:
-        raise NotImplementedError(
-            "packed scheduler supports full-TRG / linear modes; the "
-            "1-loop fast path stays on the chunked scheduler")
     g = make_grids(cfg)
     nk = g.nk
     jdt = cfg.jdtype
@@ -353,6 +349,15 @@ def evolve_packed(cfg: SolverConfig, settings: RunSettings, models,
     h_init = jnp.float64(1e-2 * eta_fin)
     tab = RKF45
     nflat = NU_STATE * nk
+    one_loop = settings.nonlinear and settings.one_loop
+    if one_loop:
+        # per-model z1l mode-coupling caches, built vmapped up front from
+        # the f64 models (mirrors trg.evolve: the cache math stays f64;
+        # only the stepping below may run f32) and gathered per lane on
+        # reload like the models themselves
+        caches = jax.vmap(
+            lambda mm: build_oneloop_cache(cfg, settings, mm, mode, ec)
+        )(models)
     if cfg.dtype != "float64":
         # f32 stepping mode: cast the model/engine tables like
         # trg.evolve does, or the RHS returns f64 and the while_loop
@@ -361,13 +366,20 @@ def evolve_packed(cfg: SolverConfig, settings: RunSettings, models,
                           if hasattr(x, "dtype")
                           and jnp.issubdtype(x.dtype, jnp.floating) else x)
         models = jax.tree_util.tree_map(cast, models)
+        if one_loop:
+            caches = jax.tree_util.tree_map(cast, caches)
         if ec is not None:
             ec = jax.tree_util.tree_map(cast, ec)
+    # the lane work unit: model (+ its 1-loop cache) — one pytree so the
+    # queue reload gathers both with the same one-hot contraction
+    work = (models, caches) if one_loop else (models,)
 
-    def lane_attempt(m, t, h, y, t1):
+    def lane_attempt(mw, t, h, y, t1):
         """One controller attempt — the body of ode.integrate_interval
         verbatim, with the lane's own segment target t1."""
-        rhs = make_rhs(cfg, settings, m, None, mode, ec)
+        m = mw[0]
+        cache = mw[1] if one_loop else None
+        rhs = make_rhs(cfg, settings, m, cache, mode, ec)
         dt = t1 - t
         # >= : when h lands EXACTLY on the remaining interval the step
         # must count as final, or the next attempt runs with h_try = 0
@@ -396,7 +408,7 @@ def evolve_packed(cfg: SolverConfig, settings: RunSettings, models,
     y0_all = y0_all.reshape(N, nflat)
 
     def load_states_onehot(idx, take):
-        """Select models/initial states for lanes via one-hot einsum
+        """Select work units/initial states for lanes via one-hot einsum
         contractions — XLA's f64 gather lowers pathologically on the
         current TPU runtime (docs/TPU_NOTES.md), a matmul-style masked
         contraction is element-traffic bound instead.  Lanes with
@@ -411,7 +423,7 @@ def evolve_packed(cfg: SolverConfig, settings: RunSettings, models,
                                                            + x.shape[1:])
             return jnp.take(x, jnp.where(take, idx, 0), axis=0)
 
-        gm = jax.tree_util.tree_map(pick, models)
+        gm = jax.tree_util.tree_map(pick, work)
         return gm, (oh @ y0_all).astype(y0_all.dtype)
 
     def lane_select(take):
@@ -470,7 +482,7 @@ def evolve_packed(cfg: SolverConfig, settings: RunSettings, models,
         active, it = carry[7], carry[10]
         return jnp.any(active) & (it < max_iters)
 
-    m0 = jax.tree_util.tree_map(lambda x: x[:L], models)
+    m0 = jax.tree_util.tree_map(lambda x: x[:L], work)
     y0 = y0_all[:L]
     carry0 = (m0,
               jnp.zeros(L, jnp.float64),

@@ -67,12 +67,30 @@ def test_packed_single_model_matches_evolve():
                                rtol=1e-6, atol=1e-8)
 
 
-def test_packed_rejects_one_loop():
-    cosmos, lins = _batch(2)
+def test_packed_one_loop_matches_chunked():
+    """1-loop lanes: per-model z1l caches are gathered through the queue
+    reload alongside the models; outputs match the chunked scheduler
+    within the controller band."""
+    cosmos, lins = _batch(3)
     s1l = RunSettings(one_loop=True, z_out=(1.0, 0.0))
-    with pytest.raises(NotImplementedError):
-        driver.run_batch(CFG, s1l, cosmos, lins, mode="fft",
-                         scheduler="packed")
+    r_ch = driver.run_batch(CFG, s1l, cosmos, lins, mode="fft",
+                            scheduler="chunked")
+    old = os.environ.get("REDTIME_LANES")
+    os.environ["REDTIME_LANES"] = "2"
+    try:
+        r_pk = driver.run_batch(CFG, s1l, cosmos, lins, mode="fft",
+                                scheduler="packed")
+    finally:
+        if old is None:
+            os.environ.pop("REDTIME_LANES", None)
+        else:
+            os.environ["REDTIME_LANES"] = old
+    # controller band: the packed lanes and the chunked solve take
+    # different step trajectories, so near-zero RSD columns need an
+    # absolute floor (same pairing as the single-model test above)
+    np.testing.assert_allclose(np.asarray(r_pk.table),
+                               np.asarray(r_ch.table),
+                               rtol=3e-5, atol=1e-8)
 
 
 def test_packed_f32_stepping_traces():
@@ -90,10 +108,28 @@ def test_packed_f32_stepping_traces():
     assert bool(jnp.isfinite(res.table).all())
 
 
-def test_packed_rejects_mesh():
+def test_packed_mesh_matches_chunked():
+    """Sharded packed scheduler: every device runs its own queue over its
+    batch shard (shard_map); a 5-model batch on 2 devices pads to 6 and
+    slices back.  Results match the unsharded chunked scheduler."""
     from jax.sharding import Mesh
-    cosmos, lins = _batch(2)
-    mesh = Mesh(np.array(jax.devices("cpu")[:1]), ("batch",))
-    with pytest.raises(ValueError, match="packed"):
-        driver.run_batch(CFG, SETTINGS, cosmos, lins, mode="fft",
-                         scheduler="packed", mesh=mesh)
+    devs = jax.devices("cpu")
+    if len(devs) < 2:
+        pytest.skip("needs >= 2 virtual CPU devices")
+    cosmos, lins = _batch(5)
+    r_ch = driver.run_batch(CFG, SETTINGS, cosmos, lins, mode="fft",
+                            scheduler="chunked")
+    mesh = Mesh(np.array(devs[:2]), ("batch",))
+    old = os.environ.get("REDTIME_LANES")
+    os.environ["REDTIME_LANES"] = "2"
+    try:
+        r_pk = driver.run_batch(CFG, SETTINGS, cosmos, lins, mode="fft",
+                                scheduler="packed", mesh=mesh)
+    finally:
+        if old is None:
+            os.environ.pop("REDTIME_LANES", None)
+        else:
+            os.environ["REDTIME_LANES"] = old
+    tc, tp = np.asarray(r_ch.table), np.asarray(r_pk.table)
+    assert tc.shape == tp.shape
+    np.testing.assert_allclose(tp, tc, rtol=3e-5, atol=1e-12)
