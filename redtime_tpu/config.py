@@ -85,6 +85,14 @@ class SolverConfig:
     # (so rtol must tighten ~10x to match the stop-converged trajectory),
     # and the per-attempt dense fill adds work.  Kept as an option for
     # denser lna tables; ignored when growth_h_reset is set.
+    growth_ramp_tableau: str = "dop853"  # integrator for the a_early ->
+    # growth_a_min ramp (39 e-folds, node-free — it dominates growth
+    # attempts): 'dop853' (8th order, the closer analog of the reference's
+    # GSL rk8pd, AU_cosmological_parameters.h:172; measured ~3x fewer
+    # controller attempts at equal rtol and a ~1e-9-level trajectory
+    # match) or 'dopri5' (round-2 behavior).  The node-stopped table
+    # region stays DOPRI5 (its step count is node-bounded; order buys
+    # nothing there — TODO.md closed lines).
 
     # --- beta_P clamping (reference AU_cosmological_parameters.h:536-537) ---
     beta_k_min: float = 1e-3

@@ -24,7 +24,8 @@ from redtime_tpu import interp
 from redtime_tpu.config import CosmoParams, SolverConfig
 from redtime_tpu.grids import make_grids
 from redtime_tpu.io.camb import LinearData
-from redtime_tpu.ode import DOPRI5, integrate_dense, integrate_interval
+from redtime_tpu.ode import (DOP853, DOPRI5, integrate_dense,
+                             integrate_interval)
 
 
 class Model(NamedTuple):
@@ -211,8 +212,20 @@ def build_growth_tables(cfg: SolverConfig, c: CosmoParams, lin: LinearData):
         # initial stretch a_early -> a_min in x = ln a; the reference's
         # h0 = 1e-6 * a_begin (integrate_growth :179) is dx = 1e-6
         x_early, x_min = np.log(a_early), np.log(a_min)
+
+        # a_early -> a_min ramp: 8th-order DOP853 by default — the
+        # reference itself integrates growth with GSL's 8th-order rk8pd
+        # (AU_cosmological_parameters.h:172), and the ramp's 39 node-free
+        # e-folds dominate controller attempts (measured 103 vs 210 at
+        # equal rtol; probe_growth_flat.py).  The table region stays
+        # DOPRI5: its step count is node-bounded, order buys nothing
+        # there, and a flat single-while_loop lowering of the node stops
+        # (ode.integrate_nodes, bit-exact) measured no faster than the
+        # scan on the host backend — TODO.md closed lines.
+        ramp_tab = DOP853 if cfg.growth_ramp_tableau == "dop853" else DOPRI5
+
         y, h = integrate_interval(rhs, x_early, x_min, y0, 1e-6,
-                                  0.0, rtol, DOPRI5)
+                                  0.0, rtol, ramp_tab)
         # rows store (G, dD/da) up to the common a_early scale, which
         # cancels in growth_D_f's normalization: w == (D/a) * a_early
         first = y

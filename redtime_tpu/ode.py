@@ -89,6 +89,29 @@ DOPRI5 = Tableau(
 )
 
 
+def _dop853_tableau() -> Tableau:
+    """Hairer's 8th-order Dormand-Prince DOP853 (Solving ODEs I), 12
+    stages, with the 5th-order embedded error weights.  Coefficients come
+    from scipy's published table (scipy.integrate._ivp.dop853_coefficients)
+    at import time — the same public constants as Hairer's dopri853.f.
+
+    Role: the growth ODE's a_early ramp (39 e-folds of smooth background
+    evolution with no output nodes) — the reference itself integrates
+    growth with GSL's 8th-order rk8pd (AU_cosmological_parameters.h:172),
+    so an 8th-order ramp is the closer analog AND takes several-fold
+    fewer controller attempts than DOPRI5 at equal tolerance.  The
+    controller 'order' follows the GSL convention of using the method
+    order (GSL's rkf45/rk8pd do the same with their lower-order error
+    estimates)."""
+    from scipy.integrate._ivp import dop853_coefficients as _d
+    s = int(_d.N_STAGES)     # 12; E5[12] == 0 so the FSAL stage is unused
+    return Tableau(c=np.array(_d.C[:s]), a=np.array(_d.A[:s, :s]),
+                   b=np.array(_d.B), e=np.array(_d.E5[:s]), order=8)
+
+
+DOP853 = _dop853_tableau()
+
+
 def rk_step(rhs: Callable, t, h, y, tab: Tableau, return_stages=False):
     """One embedded RK step: returns (y_new, yerr[, ks]).
 
@@ -171,6 +194,86 @@ def integrate_interval(rhs: Callable, t0, t1, y0, h0,
     if return_stats:
         return y, h, n     # n counts step ATTEMPTS (accepted + rejected)
     return y, h
+
+
+def integrate_nodes(rhs: Callable, t0, nodes, y0, h0,
+                    eps_abs: float, eps_rel: float,
+                    tab: Tableau = RKF45,
+                    max_steps: int = 1_000_000,
+                    return_stats: bool = False):
+    """Integrate from t0 through the sorted stop ``nodes`` (all > t0),
+    recording y at every node, in ONE while_loop.
+
+    Applies bit-identical controller arithmetic and boundary clipping to a
+    scan of `integrate_interval` over the node segments with the step
+    suggestion carried across boundaries — the trajectory (and therefore
+    every recorded row) is the same to the last ulp.  What changes is the
+    lowering: a `lax.scan` whose body is itself a `lax.while_loop` pays the
+    inner loop's setup/teardown once per segment; on a 101-node growth
+    table (~1 accepted step per node) that bookkeeping rivals the step
+    arithmetic itself on the host backend.  Here there is exactly one loop
+    of (total step attempts) iterations and the node bookkeeping is a
+    masked [m]-row select per iteration.
+
+    Returns (rows [len(nodes), *y.shape], h_suggest[, n_attempts]).
+    Rows past a truncated integration (max_steps exhausted or h underflow)
+    are NaN-poisoned like integrate_interval's final state.
+    """
+    ord_ = tab.order
+    nodes = jnp.asarray(nodes, dtype=jnp.float64)
+    m = nodes.shape[0]
+
+    def cond(state):
+        t, y, h, seg, n, rows = state
+        return (seg < m) & (n < max_steps)
+
+    def body(state):
+        t, y, h, seg, n, rows = state
+        t1 = nodes[jnp.minimum(seg, m - 1)]
+        dt = t1 - t
+        final = h > dt
+        h_try = jnp.where(final, dt, h)
+        y_new, yerr = rk_step(rhs, t, h_try, y, tab)
+
+        d0 = eps_abs + eps_rel * jnp.abs(y_new)
+        r = jnp.max(jnp.abs(yerr) / d0)
+
+        dec = r > 1.1
+        fac_dec = jnp.maximum(0.9 * r ** (-1.0 / ord_), 0.2)
+        fac_inc = jnp.clip(0.9 * r ** (-1.0 / (ord_ + 1.0)), 1.0, 5.0)
+        fac = jnp.where(dec, fac_dec, jnp.where(r < 0.5, fac_inc, 1.0))
+        h_next = h_try * fac
+
+        t_acc = jnp.where(final, t1, t + h_try)
+        t_out = jnp.where(dec, t, t_acc)
+        y_out = jnp.where(dec, y, y_new)
+        # segment complete exactly when integrate_interval's cond (t < t1)
+        # would exit: an accepted step that reached (or passed, within
+        # one ulp of non-final arithmetic) the node
+        reached = (~dec) & (t_out >= t1)
+        rows = jnp.where(
+            ((jnp.arange(m) == seg) & reached).reshape(
+                (m,) + (1,) * y.ndim),
+            y_out, rows)
+        # the scan-of-intervals path restarts every segment at the STATIC
+        # node value (x0 = nodes[i]); pin t likewise so a non-final step
+        # that lands past the node by an ulp cannot skew the next segment
+        t_out = jnp.where(reached, t1, t_out)
+        return (t_out, y_out, h_next, seg + reached.astype(seg.dtype),
+                n + 1, rows)
+
+    t0 = jnp.asarray(t0, dtype=jnp.float64)
+    h0 = jnp.asarray(h0, dtype=jnp.float64)
+    rows0 = jnp.zeros((m,) + y0.shape, dtype=y0.dtype)
+    t, y, h, seg, n, rows = jax.lax.while_loop(
+        cond, body, (t0, y0, h0, jnp.asarray(0), jnp.asarray(0), rows0))
+    # truncation poisoning: rows at/after an unreached segment go NaN
+    rows = jnp.where(
+        (jnp.arange(m) < seg).reshape((m,) + (1,) * y0.ndim),
+        rows, jnp.nan)
+    if return_stats:
+        return rows, h, n
+    return rows, h
 
 
 # Dormand-Prince 5(4) continuous extension (4th-order dense output).  The

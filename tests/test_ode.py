@@ -95,3 +95,61 @@ def test_dense_growth_tables_match_scan_path():
     assert np.all(np.isfinite(np.asarray(G_d)))
     assert np.allclose(np.asarray(G_d), np.asarray(G_s), rtol=1e-5)
     assert np.allclose(np.asarray(dD_d), np.asarray(dD_s), rtol=1e-4)
+
+
+def test_dop853_accuracy_and_order():
+    # 8th-order tableau: exact-solution accuracy at loose tolerance, and
+    # far fewer controller attempts than DOPRI5 on a smooth long interval
+    # (the growth a_early ramp's regime)
+    from redtime_tpu.ode import DOP853
+
+    def rhs(t, y):
+        return -y
+
+    y0 = jnp.array([1.0, 2.0])
+    y, _, n8 = integrate_interval(rhs, 0.0, 30.0, y0, 0.01, 0.0, 1e-6,
+                                  DOP853, return_stats=True)
+    assert np.allclose(np.asarray(y), np.exp(-30.0) * np.array([1., 2.]),
+                       rtol=1e-6)
+    _, _, n5 = integrate_interval(rhs, 0.0, 30.0, y0, 0.01, 0.0, 1e-6,
+                                  DOPRI5, return_stats=True)
+    assert int(n8) < int(n5)
+
+
+def test_integrate_nodes_bitexact_vs_scan():
+    # the flat node-stopped loop must reproduce a scan of
+    # integrate_interval segments (h carried) to the last ulp — same
+    # controller arithmetic, different lowering
+    from redtime_tpu.ode import integrate_nodes
+
+    def rhs(t, y):
+        return jnp.array([y[1], -jnp.sin(y[0])])  # pendulum
+
+    y0 = jnp.array([1.2, 0.0])
+    nodes = np.linspace(0.5, 8.0, 23)
+    rows, hf = integrate_nodes(rhs, 0.0, jnp.asarray(nodes), y0, 0.01,
+                               0.0, 1e-8, DOPRI5)
+    y, h = y0, jnp.float64(0.01)
+    t = 0.0
+    exp = []
+    for t1 in nodes:
+        y, h = integrate_interval(rhs, t, float(t1), y, h, 0.0, 1e-8,
+                                  DOPRI5)
+        exp.append(np.asarray(y))
+        t = float(t1)
+    assert np.array_equal(np.asarray(rows), np.stack(exp))
+    assert float(hf) == float(h)
+
+
+def test_integrate_nodes_truncation_poisons():
+    from redtime_tpu.ode import integrate_nodes
+
+    def rhs(t, y):
+        return -y
+
+    rows, _ = integrate_nodes(rhs, 0.0, jnp.asarray([1.0, 2.0, 3.0]),
+                              jnp.array([1.0]), 0.01, 0.0, 1e-8, DOPRI5,
+                              max_steps=25)
+    r = np.asarray(rows)
+    assert np.isfinite(r[0]).all()          # first node reached
+    assert np.isnan(r[-1]).all()            # later nodes NaN-poisoned
