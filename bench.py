@@ -100,18 +100,25 @@ def _inputs(cfg):
     return cosmos, lins
 
 
-def _timed_batch(cfg, settings, cosmos, lins, mode):
-    """Warm once (compile), then time a fresh end-to-end batch (host
-    prepare + device solve, chunked/overlapped inside run_batch)."""
+def _timed_batch(cfg, settings, cosmos, lins, mode, repeats=None):
+    """Warm once (compile), then time fresh end-to-end batches (host
+    prepare + device solve, chunked/overlapped inside run_batch) and
+    report the MEDIAN of `repeats` runs with the spread — this host is
+    1-core and contention-sensitive, so single-shot numbers vary
+    run-to-run (measured up to 1.7x on the 1-loop path)."""
+    if repeats is None:
+        repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     res = driver.run_batch(cfg, settings, cosmos, lins, mode=mode)
     res.table.block_until_ready()
-    t0 = time.time()
-    res = driver.run_batch(cfg, settings, cosmos, lins, mode=mode)
-    res.table.block_until_ready()
-    dt = time.time() - t0
+    rates = []
+    for _ in range(repeats):
+        t0 = time.time()
+        res = driver.run_batch(cfg, settings, cosmos, lins, mode=mode)
+        res.table.block_until_ready()
+        rates.append(BATCH / (time.time() - t0) * 60.0)
     bad = driver.finite_report(res)
     assert len(bad) == 0, f"non-finite lanes in bench batch: {list(bad)}"
-    return BATCH / dt * 60.0
+    return float(np.median(rates)), min(rates), max(rates)
 
 
 def main():
@@ -143,7 +150,9 @@ def main():
 
     # headline: production full-TRG mode
     settings_full = RunSettings(one_loop=False, z_out=Z_OUT_PROD)
-    per_min = _timed_batch(cfg, settings_full, cosmos, lins, mode)
+    per_min, lo, hi = _timed_batch(cfg, settings_full, cosmos, lins, mode)
+    print(f"# headline spread over repeats: {lo:.1f}..{hi:.1f} "
+          f"cosmologies/min", file=sys.stderr)
 
     # secondary: 1-loop fast path (round-1's metric) in its TPU-native f32
     # stepping mode (the engine there stays f64 — cache + output blocks)
@@ -152,9 +161,11 @@ def main():
         cfg_1l = SolverConfig(fft_mode=mode, dtype=dt_1l)
         settings_1l = RunSettings(
             one_loop=True, z_out=(5.0, 4.0, 3.0, 2.0, 1.0, 0.5, 0.0))
-        per_min_1l = _timed_batch(cfg_1l, settings_1l, cosmos, lins, mode)
+        per_min_1l, lo1, hi1 = _timed_batch(cfg_1l, settings_1l, cosmos,
+                                            lins, mode)
         print(f"# secondary: 1-loop 7z {dt_1l} batch={BATCH}: "
-              f"{per_min_1l:.1f} cosmologies/min", file=sys.stderr)
+              f"{per_min_1l:.1f} cosmologies/min (median; spread "
+              f"{lo1:.1f}..{hi1:.1f})", file=sys.stderr)
 
     name = (f"cosmologies/min (full Time-RG '1 0 1 1' + TNS, nk=128, "
             f"8 z-outputs, Mira-Titan LHS design batch={BATCH}, "

@@ -80,3 +80,50 @@ def assert_reference_criteria(res: ComparisonResult,
     elif not res.max_abs < 1e-3:
         raise AssertionError(
             f"massless-nu max |dP/P| = {res.max_abs} >= 1e-3")
+
+
+# ---------------------------------------------------------------------------
+# CosmicEmu (Mira-Titan emulator) cross-check — the second half of the
+# reference golden suite (tests/emulator_comparison/test_models.py:5-10,
+# 53-89: emulator arrays yFull/logk/params_ce, z=0 block, low-k points).
+
+class CosmicEmu(NamedTuple):
+    logP: np.ndarray      # [351, n_models] log10 dimensionless P at z=0
+    logk: np.ndarray      # [351] log10 k (physical 1/Mpc)
+    params: np.ndarray    # [9, n_models] (om_m, om_b, s8, h, ns, w0, wa,
+    #                        om_nu, z?) — columns per test_models.py usage
+
+
+def load_cosmicemu(emu_dir: str) -> CosmicEmu:
+    """Load the bundled Mira-Titan emulator arrays (test_models.py:6-10).
+    yFull holds log10 of the dimensionless spectrum for every output z
+    stacked along rows; the final 351 rows are z=0."""
+    yfull = np.loadtxt(f"{emu_dir}/yFull.txt")
+    logk = np.loadtxt(f"{emu_dir}/logk.txt")
+    params = np.loadtxt(f"{emu_dir}/params_ce.txt")
+    return CosmicEmu(yfull[-351:, :], logk, params)
+
+
+def dimensionless_power(k_phys: np.ndarray, P_code: np.ndarray,
+                        h: float) -> np.ndarray:
+    """The emulator's Delta^2-like convention (test_models.py:22-26):
+    P [code units, (Mpc/h)^3] / h^3 / (2 pi^2) * k_phys^1.5."""
+    return P_code / h ** 3 / (2.0 * np.pi ** 2) * k_phys ** 1.5
+
+
+def emulator_rel_err(k_code: np.ndarray, P_corrected: np.ndarray, h: float,
+                     emu: CosmicEmu, model_index: int,
+                     n_low: int = 40) -> np.ndarray:
+    """|P/P_emu - 1| at the emulator's first ``n_low`` k points (z=0),
+    following the reference recipe exactly (test_models.py:56-73):
+    log-log interpolation of the dimensionless spectrum from the code's
+    k grid (converted to physical 1/Mpc) onto logk[:n_low].
+
+    ``P_corrected`` is the z=0 P_dd column with the massive-nu f^2
+    total-matter correction already applied where relevant."""
+    k_phys = np.asarray(k_code) * h
+    nlin = dimensionless_power(k_phys, np.asarray(P_corrected), h)
+    nlin_int = 10.0 ** np.interp(emu.logk[:n_low], np.log10(k_phys),
+                                 np.log10(nlin))
+    emu_P = 10.0 ** emu.logP[:n_low, model_index]
+    return np.abs(nlin_int / emu_P - 1.0)

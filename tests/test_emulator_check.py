@@ -53,3 +53,35 @@ def test_framework_output_passes_reference_criteria(example_dir, tmp_path):
     assert_reference_criteria(cmp_res, massive=True)
     # far tighter than the CI bar in practice
     assert cmp_res.max_abs < 1e-4
+
+
+def test_stored_targets_within_emulator_band():
+    """Anchor the CosmicEmu recipe: the reference's own stored
+    high-accuracy outputs sit within measured bands of the bundled
+    Mira-Titan emulator predictions (test_models.py only *plots* this
+    comparison; the bands asserted here were measured from those stored
+    outputs: massless max 9.8e-4, massive max 9.3e-3 over the 40 low-k
+    emulator points, k <= 0.0178/Mpc physical)."""
+    import os
+
+    from redtime_tpu.emulator_check import (emulator_rel_err,
+                                            load_cosmicemu)
+
+    base = "/root/reference/tests/emulator_comparison"
+    if not os.path.isdir(f"{base}/emulator"):
+        pytest.skip("reference emulator arrays unavailable")
+    emu = load_cosmicemu(f"{base}/emulator")
+    assert emu.logP.shape[0] == 351 and emu.logk.shape == (351,)
+
+    for i in range(32):
+        h = emu.params.T[i][3]
+        om_nu, om_m = emu.params.T[i][7], emu.params.T[i][0]
+        rf = np.loadtxt(
+            f"{base}/output_kmax50_klogint1000/redTime_M{i+1:03d}.dat")
+        k_code, P = rf[-128:, 0], rf[-128:, 7].copy()
+        if i >= 10:   # massive-nu f^2 correction (test_models.py:29-40)
+            trans_p = np.sqrt(rf[-128:, 6] / rf[-128:, 3])
+            f = 1.0 - om_nu / om_m + trans_p * (om_nu / om_m)
+            P = P * f * f
+        rel = emulator_rel_err(k_code, P, h, emu, i)
+        assert rel.max() < (1.2e-3 if i < 10 else 1.1e-2), (i + 1, rel.max())

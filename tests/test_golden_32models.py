@@ -138,3 +138,37 @@ def test_linear_columns_roundtrip(suite_results):
     rel = np.abs(tables[:, :, :, 3] / refs[:, :, :, 3] - 1.0)
     assert rel[:, -1].max() < 1e-9          # z=0: exact by construction
     assert rel.max() < 5e-3                 # earlier z: growth-consistent
+
+def test_emulator_cross_check(suite_results):
+    """Mira-Titan emulator cross-check (test_models.py:53-89 — the half
+    of the reference golden suite that compares against the bundled
+    CosmicEmu arrays).  Our fresh full-TRG outputs must sit against the
+    emulator no worse than the stored high-accuracy targets do (within a
+    small slack for the solve-vs-target band, itself < 1e-3):
+    self-calibrating, so an emulator-side systematic can't mask a
+    solver regression."""
+    from redtime_tpu.emulator_check import emulator_rel_err, load_cosmicemu
+
+    emudir = os.path.join(os.path.dirname(EMU), "emulator")
+    if not os.path.isdir(emudir):
+        pytest.skip("reference emulator arrays unavailable")
+    emu = load_cosmicemu(emudir)
+
+    params, tables, refs = suite_results
+    for i, name in enumerate(NAMES):
+        p = params[i]
+        f_nu = p.Omega_nu / p.Omega_m
+
+        def corrected(tab):
+            pdd = tab[-1, :, 7]
+            if f_nu < 1e-10:
+                return pdd
+            beta_p = f_nu * np.sqrt(tab[-1, :, 6] / tab[-1, :, 3])
+            return pdd * (1.0 - f_nu + beta_p) ** 2
+
+        k_code = tables[i][-1, :, 0]
+        ours = emulator_rel_err(k_code, corrected(tables[i]), p.h, emu, i)
+        target = emulator_rel_err(refs[i][-1, :, 0], corrected(refs[i]),
+                                  p.h, emu, i)
+        assert ours.max() < target.max() + 1.1e-3, (
+            name, ours.max(), target.max())
