@@ -163,7 +163,10 @@ def _growth_rhs(c: CosmoParams, d, f_nu, beta_a, beta_col, x, y):
         dv/dx = -(3 + dlnH/dlna) v + 1.5 Om (f_c + beta) (a / s) w,
             x = ln a,  s = a^4 H^2/H0^2   (bounded; background.py)
 
-    beta_col: k-reduced beta values [nz] at this ODE's k node."""
+    y: [..., 2] — a single k node's state [2] or the whole table's
+    [n_lnk+1, 2] (the background scalars and the beta a-gather are shared
+    across lanes either way).  beta_col: k-reduced beta values [nz, ...]
+    matching y's leading shape."""
     a = jnp.exp(x)
     s = bg.a4H2_H02(c, a, d)
     C0 = 1.5 * c.Omega_m * a / s
@@ -175,95 +178,133 @@ def _growth_rhs(c: CosmoParams, d, f_nu, beta_a, beta_col, x, y):
         beta = jnp.where(a < 1e-3, f_nu,
                          jnp.where(f_nu < 1e-10, 0.0, tab))
     fc = 1.0 - f_nu
+    return jnp.stack([y[..., 1] - y[..., 0],
+                      -F1 * y[..., 1] + C0 * (fc + beta) * y[..., 0]],
+                     axis=-1)
+
+
+def _growth_rhs_ramp(c: CosmoParams, d, f_nu, x, y):
+    """The growth RHS on the a_early -> min(a_min, 1e-3) ramp, where the
+    reference's own clamp fixes Beta == f_nu (a constant):
+    `Beta = (a < 1e-3 ? fn : Beta_P(...))`, AU_cosmological_parameters.h:148.
+    The ramp ODE is therefore k-INDEPENDENT and is integrated once per
+    model on a [2] state instead of once per k node (build_growth_tables).
+    """
+    a = jnp.exp(x)
+    s = bg.a4H2_H02(c, a, d)
+    C0 = 1.5 * c.Omega_m * a / s
+    F1 = 3.0 + bg.dlnH_dlna_bounded(c, a, d)
+    fc = 1.0 - f_nu
     return jnp.stack([y[1] - y[0],
-                      -F1 * y[1] + C0 * (fc + beta) * y[0]])
+                      -F1 * y[1] + C0 * (fc + f_nu) * y[0]])
 
 
 def build_growth_tables(cfg: SolverConfig, c: CosmoParams, lin: LinearData):
-    """Integrate the growth ODE over all k nodes (vmapped) and tabulate
-    G = D/a and dD/da on the (lna, lnk) grid (reference :661-724).
+    """Integrate the growth ODE over all k nodes and tabulate G = D/a and
+    dD/da on the (lna, lnk) grid (reference :661-724).
 
-    The reference OpenMP-parallelizes over k nodes (:690); here the whole
-    per-k state is one [n_k, 2] tensor advanced by a single jitted adaptive
-    integrator.
+    The reference OpenMP-parallelizes independent per-k integrations
+    (:690).  Here the structure is vectorized instead:
+
+    * the a_early -> a_min RAMP (39 node-free e-folds, the dominant
+      controller cost) is k-independent — the reference's own clamp fixes
+      Beta == f_nu for a < 1e-3 (:148) — so it is integrated ONCE per
+      model on a [2] state (8th-order DOP853 by default, the closer
+      analog of the reference's rk8pd: 103 attempts vs DOPRI5's 210 at
+      equal rtol; probe_growth_flat.py);
+    * the TABLE region advances the whole per-k state as ONE
+      [n_lnk+1, 2] tensor under a single controller (error norm = max
+      over every lane, so each lane is stepped at least as tightly as
+      its own controller would demand) — background scalars and the
+      beta a-gather are evaluated once per stage for all lanes instead
+      of once per lane.  Step count is node-bounded either way (~1
+      accepted step per segment); what the shared system removes is the
+      n_lnk-fold replication of the transcendental-heavy background.
+    * a massless-nu model's ODE has no k dependence at all: one lane is
+      integrated and broadcast (exact).
+
+    Per-lane trajectories stay within the controller tolerance band of
+    the per-k formulation (the golden and 32-model suites are the
+    tripwire); the boundary stage at a == a_min, where the reference's
+    strict `a < 1e-3` comparison flips to the per-k table value, perturbs
+    the ramp result at one-stage order and decays with the decaying mode
+    toward z_in (measured vs the per-k formulation on the bundled
+    massive-nu example: normalized-table deviation 2.8e-12 over the
+    z <= 5 rows, 7.3e-7 at the a = a_min row; docs/TPU_NOTES.md).
     """
     d = bg.derived(c)
     f_nu = c.Omega_nu / c.Omega_m
     lna_nodes, lnk_nodes = growth_nodes(cfg)
-    a_nodes = np.exp(lna_nodes)
     k_nodes = np.exp(lnk_nodes)
 
     # beta table reduced at the growth k nodes (clamped to the beta range)
     kq = np.clip(k_nodes, cfg.beta_k_min, cfg.beta_k_max)
     beta_cols = _beta_reduce_k(lin, kq)          # [nz, n_lnk+1]
+    beta_a = jnp.asarray(lin.beta_a)
 
     rtol = cfg.growth_rtol
-    a_early = cfg.a_early
-    a_min = cfg.growth_a_min
+    x_early = np.log(cfg.a_early)
+    x_min = np.log(cfg.growth_a_min)
+    # the k-independent stretch ends at the reference's Beta clamp (:148)
+    x_share = min(x_min, np.log(1e-3))
+    ramp_tab = DOP853 if cfg.growth_ramp_tableau == "dop853" else DOPRI5
 
-    def one_k(beta_col):
-        def rhs(a, y):
-            return _growth_rhs(c, d, f_nu, jnp.asarray(lin.beta_a),
-                               beta_col, a, y)
+    # scaled state (w, v): D(a_early) = 1, dD/da(a_early) = 1/a_early
+    # (reference :697) maps to w = v = 1; the reference's h0 = 1e-6 *
+    # a_begin (integrate_growth :179) is dx = 1e-6.  Rows store (G, dD/da)
+    # up to the common a_early scale, which cancels in growth_D_f's
+    # normalization: w == (D/a) * a_early.
+    y_r, h_r = integrate_interval(
+        lambda x, y: _growth_rhs_ramp(c, d, f_nu, x, y),
+        x_early, x_share, jnp.array([1.0, 1.0]), 1e-6, 0.0, rtol, ramp_tab)
 
-        # scaled state (w, v): D(a_early) = 1, dD/da(a_early) = 1/a_early
-        # (reference :697) maps to w = v = 1
-        y0 = jnp.array([1.0, 1.0])
-        # initial stretch a_early -> a_min in x = ln a; the reference's
-        # h0 = 1e-6 * a_begin (integrate_growth :179) is dx = 1e-6
-        x_early, x_min = np.log(a_early), np.log(a_min)
+    # one lane when the ODE is k-independent (massless nu), else all nodes
+    n_lanes = len(k_nodes) if beta_cols.shape[0] else 1
+    bc = beta_cols if beta_cols.shape[0] else jnp.zeros((0, n_lanes))
 
-        # a_early -> a_min ramp: 8th-order DOP853 by default — the
-        # reference itself integrates growth with GSL's 8th-order rk8pd
-        # (AU_cosmological_parameters.h:172), and the ramp's 39 node-free
-        # e-folds dominate controller attempts (measured 103 vs 210 at
-        # equal rtol; probe_growth_flat.py).  The table region stays
-        # DOPRI5: its step count is node-bounded, order buys nothing
-        # there, and a flat single-while_loop lowering of the node stops
-        # (ode.integrate_nodes, bit-exact) measured no faster than the
-        # scan on the host backend — TODO.md closed lines.
-        ramp_tab = DOP853 if cfg.growth_ramp_tableau == "dop853" else DOPRI5
+    def rhs(x, y):
+        return _growth_rhs(c, d, f_nu, beta_a, bc, x, y)
 
-        y, h = integrate_interval(rhs, x_early, x_min, y0, 1e-6,
-                                  0.0, rtol, ramp_tab)
-        # rows store (G, dD/da) up to the common a_early scale, which
-        # cancels in growth_D_f's normalization: w == (D/a) * a_early
-        first = y
+    y0 = jnp.broadcast_to(y_r, (n_lanes, 2))
+    h0 = h_r
+    if x_share < x_min:
+        # growth_a_min above the clamp: finish the ramp per-k
+        y0, h0 = integrate_interval(rhs, x_share, x_min, y0, h0,
+                                    0.0, rtol, ramp_tab)
+    first = y0
 
-        if cfg.growth_dense and not cfg.growth_h_reset:
-            # free stepping over the whole table range with dense output at
-            # the lna nodes — step count set by stiffness, not by the 101
-            # node stops (measured ~3x fewer controller attempts)
-            rows, _, _ = integrate_dense(
-                rhs, x_min, float(lna_nodes[-1]), y, h, 0.0, rtol,
-                jnp.asarray(lna_nodes[1:]), DOPRI5)
-            return jnp.concatenate([first[None, :], rows], axis=0)
-
+    if cfg.growth_dense and not cfg.growth_h_reset:
+        # free stepping over the whole table range with dense output at
+        # the lna nodes — step count set by stiffness, not by the 101
+        # node stops (measured ~3x fewer controller attempts)
+        rows, _, _ = integrate_dense(
+            rhs, x_min, float(lna_nodes[-1]), y0, h0, 0.0, rtol,
+            jnp.asarray(lna_nodes[1:]), DOPRI5)
+        tabs = jnp.concatenate([first[None], rows], axis=0)
+    else:
         def seg(carry, xx):
             y, h = carry
             x0, x1 = xx
             # reference resets h0 = 1e-6*a0 per segment (fresh gsl evolve
             # per call); carrying the adaptive step instead saves the
             # re-ramp (~4x fewer steps) with the same trajectory at this
-            # tolerance
-            h0 = 1e-6 if cfg.growth_h_reset else h
-            y2, h2 = integrate_interval(rhs, x0, x1, y, h0,
+            # tolerance.  The table region stays DOPRI5: its step count is
+            # node-bounded, order buys nothing there (TODO.md closed lines).
+            hseg = 1e-6 if cfg.growth_h_reset else h
+            y2, h2 = integrate_interval(rhs, x0, x1, y, hseg,
                                         0.0, rtol, DOPRI5)
             return (y2, h2), y2
 
         segs = jnp.stack([jnp.asarray(lna_nodes[:-1]),
                           jnp.asarray(lna_nodes[1:])], axis=1)
-        _, rows = jax.lax.scan(seg, (y, h), segs)
-        return jnp.concatenate([first[None, :], rows], axis=0)  # [n_lna+1, 2]
+        _, rows = jax.lax.scan(seg, (y0, h0), segs)
+        tabs = jnp.concatenate([first[None], rows], axis=0)
 
-    if beta_cols.shape[0] == 0:
-        beta_cols_T = jnp.zeros((len(k_nodes), 0))
-    else:
-        beta_cols_T = beta_cols.T                # [n_lnk+1, nz]
-
-    tabs = jax.vmap(one_k)(beta_cols_T)          # [n_lnk+1, n_lna+1, 2]
-    G = tabs[:, :, 0].T                          # [n_lna+1, n_lnk+1]
-    dDda = tabs[:, :, 1].T
+    G = tabs[:, :, 0]                            # [n_lna+1, n_lanes]
+    dDda = tabs[:, :, 1]
+    if n_lanes != len(k_nodes):
+        G = jnp.broadcast_to(G, (G.shape[0], len(k_nodes)))
+        dDda = jnp.broadcast_to(dDda, (dDda.shape[0], len(k_nodes)))
     return lna_nodes, G, dDda
 
 

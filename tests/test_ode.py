@@ -153,3 +153,73 @@ def test_integrate_nodes_truncation_poisons():
     r = np.asarray(rows)
     assert np.isfinite(r[0]).all()          # first node reached
     assert np.isnan(r[-1]).all()            # later nodes NaN-poisoned
+
+
+def test_growth_massless_columns_identical():
+    # a massless-nu model's growth ODE has no k dependence: the batched
+    # build integrates one lane and broadcasts — columns exactly equal
+    from __graft_entry__ import _example_inputs
+    from redtime_tpu import model as mdl
+    from redtime_tpu.config import CosmoParams, SolverConfig
+
+    cfg = SolverConfig(growth_n_lna=20, growth_n_lnk=8)
+    c = CosmoParams.make(n_s=0.96, sigma_8=0.8, h=0.7, Omega_m=0.3,
+                         Omega_b=0.05, Omega_nu=0.0, T_cmb=2.726,
+                         w0=-1.0, wa=0.0)
+    lin = _example_inputs(cfg, nu=False)
+    _, G, dD = jax.jit(
+        lambda c, l: mdl.build_growth_tables(cfg, c, l))(c, lin)
+    G, dD = np.asarray(G), np.asarray(dD)
+    assert G.shape == (21, 9)
+    assert np.array_equal(G, np.broadcast_to(G[:, :1], G.shape))
+    assert np.array_equal(dD, np.broadcast_to(dD[:, :1], dD.shape))
+    assert np.all(np.isfinite(G)) and np.all(G > 0)
+
+
+def test_growth_shared_ramp_matches_per_k_lane():
+    # the shared a_early ramp + single-controller table system must stay
+    # inside the controller band of an independently-integrated single k
+    # lane (the superseded per-k formulation; probe_growth_shared.py
+    # measures the full-table deviation at 2.8e-12 normalized, z<=5)
+    from __graft_entry__ import _cosmo, _example_inputs
+    from redtime_tpu import background as bg
+    from redtime_tpu import model as mdl
+    from redtime_tpu.config import SolverConfig
+    from redtime_tpu.ode import DOP853
+
+    cfg = SolverConfig(growth_n_lna=20, growth_n_lnk=8)
+    c, lin = _cosmo(), _example_inputs(cfg)
+    lna, G, dD = jax.jit(
+        lambda c, l: mdl.build_growth_tables(cfg, c, l))(c, lin)
+
+    # per-k reference lane: own ramp + own controller at k node j
+    d = bg.derived(c)
+    f_nu = c.Omega_nu / c.Omega_m
+    _, lnk_nodes = mdl.growth_nodes(cfg)
+    kq = np.clip(np.exp(lnk_nodes), cfg.beta_k_min, cfg.beta_k_max)
+    beta_cols = mdl._beta_reduce_k(lin, kq)
+    j = 4
+
+    def rhs(x, y):
+        return mdl._growth_rhs(c, d, f_nu, jnp.asarray(lin.beta_a),
+                               beta_cols[:, j], x, y)
+
+    y, h = integrate_interval(rhs, np.log(cfg.a_early),
+                              np.log(cfg.growth_a_min),
+                              jnp.array([1.0, 1.0]), 1e-6, 0.0,
+                              cfg.growth_rtol, DOP853)
+    rows = [np.asarray(y)]
+    lna = np.asarray(lna)
+    for x0, x1 in zip(lna[:-1], lna[1:]):
+        y, h = integrate_interval(rhs, float(x0), float(x1), y, h, 0.0,
+                                  cfg.growth_rtol, DOPRI5)
+        rows.append(np.asarray(y))
+    rows = np.stack(rows)
+    # normalized trajectories agree within the controller band: the shared
+    # ramp's one-stage boundary perturbation shows at the early rows
+    # (within growth_rtol) and decays with the decaying mode toward z=0
+    lane_G = np.asarray(G)[:, j]
+    rel = np.abs(lane_G / lane_G[-1] / (rows[:, 0] / rows[-1, 0]) - 1.0)
+    assert rel.max() < cfg.growth_rtol          # all rows: inside rtol
+    assert rel[np.exp(lna) >= 0.1].max() < 1e-8  # z <= 9: decayed to the
+    # shared-controller step-phasing band (ode.py docstring: ~1e-8)
