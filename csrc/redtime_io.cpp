@@ -124,4 +124,32 @@ void parse_stack(const char **paths, long n, long ncols, double *out,
   }
 }
 
+// Format a [nr, nc] f64 block as the reference's output rows: every value
+// printf("%*.*g"), one row per line — identical bytes to C++
+// `setprecision(prec) << setw(width)` default-float (redTime.cc:64,
+// :1670-1741) and to Python's f"{x:.{prec}g}" right-justified to width
+// (both are correctly-rounded shortest-%g renderings).  This is the hot
+// half of the output path: a 64-cosmology batch is ~1.1M formatted
+// values, ~0.9 s in Python f-strings vs device-solve ~1.0 s.
+// Returns bytes written, or -1 if cap is too small.
+long format_rows(const double *data, long nr, long nc, long width,
+                 long prec, char *out, long cap) {
+  long off = 0;
+  for (long i = 0; i < nr; i++) {
+    for (long j = 0; j < nc; j++) {
+      if (cap - off < width + 40)
+        return -1;
+      int n = snprintf(out + off, (size_t)(cap - off), "%*.*g", (int)width,
+                       (int)prec, data[i * nc + j]);
+      if (n < 0)
+        return -1;
+      off += n;
+    }
+    if (cap - off < 2)
+      return -1;
+    out[off++] = '\n';
+  }
+  return off;
+}
+
 } // extern "C"

@@ -64,12 +64,17 @@ def main():
     z_list = CAMB_Z_LIST.split()
     params_paths = []
     for i, m in enumerate(models):
-        synth_transfer_stack(wd, z_list, seed=100 + i)
         name = f"M{i+1:03d}"
+        # one stack per model: a shared directory would overwrite the
+        # transfer files, silently feeding every model the LAST stack
+        mdir = os.path.join(wd, name)
+        os.makedirs(mdir, exist_ok=True)
+        synth_transfer_stack(mdir, z_list, seed=100 + i)
         path = os.path.join(wd, f"params_redTime_{name}.dat")
         h = m["h"]
         write_params(path, name, m["om_m"], m["om_b"], m["sigma_8"], h,
-                     m["n_s"], m["w0"], m["wa"], m["om_nu"], z_list)
+                     m["n_s"], m["w0"], m["wa"], m["om_nu"], z_list,
+                     transfer_root=f"{name}/camb_transfer_z")
         params_paths.append(path)
 
     # 4. one vmapped batch solve

@@ -29,6 +29,18 @@ def _setup_jax(platform: str | None):
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache: accelerator compiles of the full
+    # pipeline are minutes-scale; without this EVERY cli invocation pays
+    # them again (measured: a warm-cache 16-model batch solve is ~1 s vs
+    # ~150 s compiling).  Shapes key the cache: re-runs with the same
+    # grid/transfer-stack shapes hit it.
+    cache = os.environ.get("JAX_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "redtime_tpu", "jax")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     if platform == "cpu":
         try:
             jax.config.update("jax_platforms", "cpu")
@@ -135,22 +147,29 @@ def cmd_batch(args) -> int:
 
     # a vmapped batch needs identical pytree leaf shapes; mixed designs
     # (massless + massive nu, or different transfer row counts) would
-    # otherwise die in jnp.stack with no file named
-    import jax.numpy as jnp
-    ref_shapes = jax.tree_util.tree_map(lambda x: jnp.shape(x),
+    # otherwise die in the stack with no file named
+    ref_shapes = jax.tree_util.tree_map(lambda x: np.shape(x),
                                         loaded[0][1])
     for path, (_, l, _, _) in zip(params_files[1:], loaded[1:]):
-        shapes = jax.tree_util.tree_map(lambda x: jnp.shape(x), l)
+        shapes = jax.tree_util.tree_map(lambda x: np.shape(x), l)
         if shapes != ref_shapes:
             raise SystemExit(
                 f"{path}: linear-input shapes differ from "
                 f"{params_files[0]} (e.g. massless vs massive-neutrino "
                 "models, or transfer files of different lengths); run "
                 "such designs as separate batches")
+    # stack on the HOST (numpy): inputs are file data and run_batch slices
+    # its chunks host-side anyway; jnp.stack on an accelerator default
+    # backend would pay a remote compile (~0.4 s each on the tunnel, below
+    # the persistent-cache threshold) plus a transfer per leaf, then an
+    # immediate pull back
+    tonp = lambda x: np.asarray(x)
     cosmos = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *[c for (_, _, _, c) in loaded])
+        lambda *xs: np.stack([tonp(x) for x in xs]),
+        *[c for (_, _, _, c) in loaded])
     lins = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *[l for (_, l, _, _) in loaded])
+        lambda *xs: np.stack([tonp(x) for x in xs]),
+        *[l for (_, l, _, _) in loaded])
 
     mesh = None
     if args.shard:
@@ -178,6 +197,10 @@ def cmd_batch(args) -> int:
 
     os.makedirs(args.output_dir, exist_ok=True)
     with timer.stage("write-outputs"):
+        # fetch the whole batch to host once (one transfer per leaf);
+        # per-model device indexing would pay a tunnel round-trip per
+        # leaf per model
+        res = jax.tree_util.tree_map(lambda x: np.asarray(x), res)
         for i, path in enumerate(params_files):
             if i in bad_idx:
                 continue

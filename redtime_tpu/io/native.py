@@ -51,6 +51,14 @@ def _load() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ctypes.c_long,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+    try:
+        lib.format_rows.restype = ctypes.c_long
+        lib.format_rows.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long]
+    except AttributeError:    # stale .so without the formatter
+        pass
     _lib = lib
     return _lib
 
@@ -124,3 +132,27 @@ def parse_stack(paths: Sequence[str], ncols: int,
         else:
             result.append(out[i, :rows[i]].copy())
     return result
+
+
+def format_rows(block: np.ndarray, width: int, prec: int) -> Optional[str]:
+    """Format a [nr, nc] f64 block as the reference's output rows — every
+    value %.{prec}g right-justified to `width`, one line per row
+    (redTime.cc:64 setprecision/setw contract).  Byte-identical to the
+    Python fallback in io/writer.py (both printf %g and Python :g are
+    correctly-rounded).  Returns None when the native library (or the
+    symbol, for a stale build) is unavailable.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "format_rows"):
+        return None
+    a = np.ascontiguousarray(block, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError(f"format_rows expects a 2-D block, got {a.shape}")
+    nr, nc = a.shape
+    # %.12g is at most 19 chars; width+8 is a comfortable per-value bound
+    cap = nr * (nc * (width + 8) + 2) + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.format_rows(a, nr, nc, width, prec, buf, cap)
+    if n < 0:
+        return None
+    return buf.raw[:n].decode("ascii")

@@ -25,6 +25,19 @@ def _w(x: float) -> str:
     return f"{_g(x):>{WIDTH}}"
 
 
+def _format_block(block: np.ndarray) -> str:
+    """One redshift block of data rows.  The native formatter
+    (csrc/redtime_io.cpp format_rows) is byte-identical to the Python
+    f-string path and ~10x faster — at batch 64 the Python formatting
+    (~1.1M values, ~0.9 s) rivals the device solve itself; tests pin the
+    byte equality (test_io.py)."""
+    from redtime_tpu.io import native
+    s = native.format_rows(block, WIDTH, 12)
+    if s is None:
+        s = "".join("".join(_w(x) for x in row) + "\n" for row in block)
+    return s
+
+
 def write_result(f: IO[str], res, params_file_name: str | None = None
                  ) -> None:
     """Write a RunResult as the reference's redTime_<model>.dat format."""
@@ -39,8 +52,7 @@ def write_result(f: IO[str], res, params_file_name: str | None = None
         f.write(f"### main: output at eta={_g(res.eta[i])}, "
                 f"a={_g(res.a[i])}, z={_g(res.z[i])}, H={_g(res.H[i])}, "
                 f"sigma_v^2={_g(res.sigma_v2[i])}\n")
-        for row in table[i]:
-            f.write("".join(_w(x) for x in row) + "\n")
+        f.write(_format_block(table[i]))
         f.write("\n\n")
 
 
