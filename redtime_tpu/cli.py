@@ -65,6 +65,23 @@ def _load(params_path: str, modern: bool):
     return p, lin, settings, cosmo
 
 
+def _config(args):
+    """SolverConfig from the CLI tier flags — the runtime equivalent of
+    the reference's compile-time configuration tiers (SURVEY section 5.6:
+    nk/np ifdefs, HIGH_ACCURACY, v0.1 README settings)."""
+    import dataclasses
+
+    from redtime_tpu.config import SolverConfig
+
+    make = {"default": SolverConfig,
+            "high-accuracy": SolverConfig.high_accuracy,
+            "v01-compat": SolverConfig.v01_compat}[args.preset]
+    cfg = make(fft_mode=args.mode, dtype=args.dtype)
+    if args.nk is not None:
+        cfg = dataclasses.replace(cfg, nk=args.nk)
+    return cfg
+
+
 def _maybe_show_legs(args, cfg) -> None:
     if getattr(args, "show_legs", False):
         from redtime_tpu.fastpt import resolved_legs
@@ -75,12 +92,11 @@ def _maybe_show_legs(args, cfg) -> None:
 
 def cmd_run(args) -> int:
     _setup_jax(args.platform)
-    from redtime_tpu.config import SolverConfig
     from redtime_tpu.driver import run_pipeline
     from redtime_tpu.io.writer import write_result
 
     p, lin, settings, cosmo = _load(args.params, args.modern)
-    cfg = SolverConfig(fft_mode=args.mode, dtype=args.dtype)
+    cfg = _config(args)
     _maybe_show_legs(args, cfg)
 
     t0 = time.time()
@@ -107,12 +123,11 @@ def cmd_batch(args) -> int:
     jax = _setup_jax(args.platform)
     import numpy as np
 
-    from redtime_tpu.config import SolverConfig
     from redtime_tpu.driver import run_batch
     from redtime_tpu.io.writer import write_result_to_path
     from redtime_tpu.profiling import StageTimer, device_trace
 
-    cfg = SolverConfig(fft_mode=args.mode, dtype=args.dtype)
+    cfg = _config(args)
     _maybe_show_legs(args, cfg)
     timer = StageTimer(enabled=args.timing)
 
@@ -257,6 +272,15 @@ def main(argv=None) -> int:
     common.add_argument("--show-legs", action="store_true",
                         help="print the resolved engine legs (which "
                         "'auto' knobs engaged their MXU fast path)")
+    common.add_argument("--preset", default="default",
+                        choices=["default", "high-accuracy", "v01-compat"],
+                        help="solver configuration tier: the reference's "
+                        "default build, the HIGH_ACCURACY ifdef "
+                        "(nk=512, tol 1e-15/1e-6), or the v0.1 README "
+                        "settings")
+    common.add_argument("--nk", type=int, default=None,
+                        help="override the solver k-grid size "
+                        "(reference compile-time nk, redTime.cc:90-94)")
 
     r = sub.add_parser("run", parents=[common],
                        help="solve one params_redTime.dat")
