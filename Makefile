@@ -15,8 +15,12 @@ ci: native lint test golden
 native:
 	$(MAKE) -C csrc
 
+# zero-warning AST lint (scripts/lint.py) — the rebuild's analog of the
+# reference's -Wall -Wextra -Wpedantic -Werror tier (CMakeLists.txt:8);
+# compileall keeps the plain syntax gate too
 lint:
 	$(PY) -m compileall -q redtime_tpu tests scripts bench.py __graft_entry__.py
+	$(PY) scripts/lint.py
 
 # full suite, including the 32-model emulator-comparison golden run
 # (tests/test_golden_32models.py) when /root/reference is present

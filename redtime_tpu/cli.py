@@ -65,10 +65,34 @@ def _load(params_path: str, modern: bool):
     return p, lin, settings, cosmo
 
 
+def _coerce(field, text: str):
+    """Parse a --set VALUE string into the type of the SolverConfig
+    field's default (every field has a scalar default)."""
+    proto = field.default
+    if isinstance(proto, bool):
+        low = text.lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        raise SystemExit(f"--set {field.name}: expected a boolean, "
+                         f"got {text!r}")
+    for typ in (int, float) if isinstance(proto, int) else (float,):
+        if isinstance(proto, typ):
+            try:
+                return typ(text)
+            except ValueError:
+                raise SystemExit(f"--set {field.name}: expected "
+                                 f"{typ.__name__}, got {text!r}")
+    return text
+
+
 def _config(args):
     """SolverConfig from the CLI tier flags — the runtime equivalent of
     the reference's compile-time configuration tiers (SURVEY section 5.6:
-    nk/np ifdefs, HIGH_ACCURACY, v0.1 README settings)."""
+    nk/np ifdefs, HIGH_ACCURACY, v0.1 README settings).  Any remaining
+    field is reachable via --set key=value (e.g. --set eabs_P=1e-9
+    --set np_factor=8 --set out_leg=dot), applied after the preset."""
     import dataclasses
 
     from redtime_tpu.config import SolverConfig
@@ -79,6 +103,16 @@ def _config(args):
     cfg = make(fft_mode=args.mode, dtype=args.dtype)
     if args.nk is not None:
         cfg = dataclasses.replace(cfg, nk=args.nk)
+    fields = {f.name: f for f in dataclasses.fields(SolverConfig)}
+    for kv in getattr(args, "set_kv", None) or []:
+        key, sep, val = kv.partition("=")
+        if not sep:
+            raise SystemExit(f"--set expects key=value, got {kv!r}")
+        if key not in fields:
+            raise SystemExit(
+                f"--set: unknown SolverConfig field {key!r}; valid: "
+                + ", ".join(sorted(fields)))
+        cfg = dataclasses.replace(cfg, **{key: _coerce(fields[key], val)})
     return cfg
 
 
@@ -199,7 +233,8 @@ def cmd_batch(args) -> int:
     with device_trace(args.trace_dir):
         with timer.stage("solve-batch"):
             res = run_batch(cfg, settings, cosmos, lins, mode=args.mode,
-                            mesh=mesh)
+                            mesh=mesh, scheduler=args.scheduler,
+                            max_chunk=args.chunk, n_lanes=args.lanes)
             res.table.block_until_ready()
     dt = time.time() - t0
 
@@ -281,6 +316,13 @@ def main(argv=None) -> int:
     common.add_argument("--nk", type=int, default=None,
                         help="override the solver k-grid size "
                         "(reference compile-time nk, redTime.cc:90-94)")
+    common.add_argument("--set", action="append", dest="set_kv",
+                        metavar="KEY=VALUE", default=[],
+                        help="override any SolverConfig field by name "
+                        "(repeatable), e.g. --set eabs_P=1e-9 "
+                        "--set np_factor=8 --set out_leg=dot; the full "
+                        "reference compile-time tier (SURVEY 5.6) is "
+                        "reachable this way")
 
     r = sub.add_parser("run", parents=[common],
                        help="solve one params_redTime.dat")
@@ -301,6 +343,17 @@ def main(argv=None) -> int:
                    help="print per-stage wall-clock")
     b.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace here")
+    b.add_argument("--scheduler", default="auto",
+                   choices=["auto", "chunked", "packed"],
+                   help="batch scheduler: 'chunked' overlaps host "
+                   "prepare with device solves (default), 'packed' is "
+                   "the work-queue scheduler for stiffness-heterogeneous "
+                   "designs (lanes pull models as they finish)")
+    b.add_argument("--chunk", type=int, default=None,
+                   help="chunked-scheduler sub-batch size "
+                   "(default: 16 full-TRG / 32 one-loop on accelerators)")
+    b.add_argument("--lanes", type=int, default=None,
+                   help="packed-scheduler lane count (default 8)")
     b.set_defaults(fn=cmd_batch)
 
     cv = sub.add_parser("convert",

@@ -15,6 +15,11 @@ f32 arrays with hi = fl(hi + lo).
 The reference solver is all C double (e.g. `src/redTime.cc` passim);
 these helpers exist so the TPU hot path can fuse its double-precision
 pipeline into single Mosaic kernels instead of per-op emulated-f64 HLOs.
+Production consumer: `fastpt._oz_split_rows` builds its exact
+power-of-two slice scales with `inv_pow2` (the Ozaki legs' activation
+split); the full arithmetic layer backs the Pallas kernel route probed
+in scripts/probe_pallas.py (measured 1.05x XLA — kept as the substrate
+for future fused kernels, docs/TPU_NOTES.md).
 """
 
 from __future__ import annotations

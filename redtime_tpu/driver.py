@@ -392,7 +392,8 @@ def _default_chunk(settings: RunSettings) -> int:
 def _run_batch_packed(cfg: SolverConfig, settings: RunSettings,
                       cs: CosmoParams, lins, mode: str,
                       norm_override=None, mesh=None,
-                      axis: str = "batch") -> RunResult:
+                      axis: str = "batch",
+                      n_lanes: int | None = None) -> RunResult:
     """Packed work-queue batch: prepare all models (host CPU on
     accelerators — cheap and immune to device wedges), move the stacked
     pytree across once, then ONE device program in which lanes pull
@@ -417,10 +418,12 @@ def _run_batch_packed(cfg: SolverConfig, settings: RunSettings,
             lins = jax.tree_util.tree_map(grow, lins)
             if norm_override is not None:
                 norm_override = grow(jnp.asarray(norm_override))
-        lanes = min(int(os.environ.get("REDTIME_LANES", "8")),
+        lanes = min(n_lanes
+                    or int(os.environ.get("REDTIME_LANES", "8")),
                     (n + pad) // nd)
     else:
-        lanes = min(int(os.environ.get("REDTIME_LANES", "8")), n)
+        lanes = min(n_lanes
+                    or int(os.environ.get("REDTIME_LANES", "8")), n)
     wn = norm_override is not None
     nrm = (jnp.asarray(norm_override),) if wn else ()
     if dev.platform != "cpu" or mesh is not None:
@@ -452,7 +455,8 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
               mesh=None, axis: str = "batch",
               prepare_on_host: bool | None = None,
               max_chunk: int | None = None,
-              norm_override=None, scheduler: str = "auto") -> RunResult:
+              norm_override=None, scheduler: str = "auto",
+              n_lanes: int | None = None) -> RunResult:
     """Batched pipeline: vmap over stacked cosmologies, optionally sharded
     over a device mesh along the batch axis (embarrassingly parallel — the
     Time-RG math has no cross-cosmology coupling, so the only communication
@@ -463,7 +467,8 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
     executable).  Defaults to 32 on accelerators, unchunked on CPU.
     """
     n = _batch_size(cs)
-    scheduler = os.environ.get("REDTIME_SCHEDULER", scheduler)
+    if scheduler == "auto":  # explicit arg wins over the env knob
+        scheduler = os.environ.get("REDTIME_SCHEDULER", "auto")
     if scheduler == "auto":
         # measured (TPU, homogeneous batch of 32): packed solve-only is
         # ~6% faster than chunked (it removes per-segment lockstep syncs)
@@ -475,7 +480,7 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
         scheduler = "chunked"
     if scheduler == "packed":
         return _run_batch_packed(cfg, settings, cs, lins, mode,
-                                 norm_override, mesh, axis)
+                                 norm_override, mesh, axis, n_lanes)
     if max_chunk is None:
         max_chunk = int(os.environ.get("REDTIME_MAX_CHUNK",
                                        _default_chunk(settings))) \

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.special import loggamma
 
-from redtime_tpu import fourier
+from redtime_tpu import dd, fourier
 from redtime_tpu.config import SolverConfig
 from redtime_tpu.grids import make_grids, pab_extension_matrix
 
@@ -441,13 +441,12 @@ def _oz_split_rows(x, q: int, s: int):
     al = (x - ah.astype(x.dtype)).astype(jnp.float32)
     mx = jnp.max(jnp.abs(ah), axis=-1, keepdims=True)
     ex = jnp.floor(jnp.log2(jnp.maximum(mx, jnp.float32(1e-38)))) + 2.0
-    # build 2^-ex EXACTLY by f32 exponent bit-casting: jnp.exp2 lowers
-    # through pow and is ~1e-8 off for plain integer arguments, which
-    # would put the slices on a non-power-of-two grid and cap the whole
-    # reconstruction at that error
+    # build 2^-ex EXACTLY by f32 exponent bit-casting (dd.inv_pow2):
+    # jnp.exp2 lowers through pow and is ~1e-8 off for plain integer
+    # arguments, which would put the slices on a non-power-of-two grid
+    # and cap the whole reconstruction at that error
     exi = jnp.clip(ex, -125.0, 125.0).astype(jnp.int32)
-    inv = jax.lax.bitcast_convert_type(
-        ((127 - exi) << 23).astype(jnp.int32), jnp.float32)
+    inv = dd.inv_pow2(exi)
     r = ah * inv
     yl = al * inv
     sls = []
@@ -578,7 +577,6 @@ def _ozaki_fwd_consts(cfg: SolverConfig):
     f64 dots on the element-traffic-bound emulated path; the int8
     diagonal scheme reproduces them below the f64 dots' own rounding
     (dropped pairs weigh ~2^-77 of operand scale vs the dot's 2^-53)."""
-    g = make_grids(cfg)
     M, _ = _pab_ext(cfg)                      # [npts, nk], used as lnP @ M.T
     fwd = _half_leg_consts(cfg)[0]            # [np, 2*half]
     return _oz_pack_np(np.asarray(M).T), _oz_pack_np(np.asarray(fwd))

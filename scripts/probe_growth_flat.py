@@ -23,7 +23,6 @@ jax.config.update("jax_enable_x64", True)
 cpu = jax.devices("cpu")[0]
 jax.config.update("jax_default_device", cpu)
 
-import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
@@ -139,7 +138,6 @@ def main():
     # consumes: growth_D_f divides by the lna=0 row)
     _, G8, dD8 = jax.jit(
         lambda c, l: mdl.build_growth_tables(cfg8, c, l))(c0, lin)
-    n5 = np.asarray(G_flat)[-10]   # a node near a=1 for normalization
     Gn5 = np.asarray(G_flat) / np.asarray(G_flat)[-1:]
     Gn8 = np.asarray(G8) / np.asarray(G8)[-1:]
     dev = np.max(np.abs(Gn8 / Gn5 - 1.0))

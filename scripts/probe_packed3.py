@@ -11,7 +11,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 from __graft_entry__ import _cosmo, _example_inputs
-from redtime_tpu import driver, trg
+from redtime_tpu import driver
 from redtime_tpu.trg import (NU_STATE, initial_state, make_grids, make_rhs)
 from redtime_tpu.config import RunSettings, SolverConfig
 from redtime_tpu.fastpt import engine_consts

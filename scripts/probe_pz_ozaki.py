@@ -98,7 +98,6 @@ def main():
         sl, e, rh = pack_matrix(M, q, sb)
         A = P_ext * rh.T                     # fold row scale into activation
         asl, asc = split_activation(A, q, sa)
-        K = npts
         # exact int32 check: products < 2^(2q)=2^14, K=512 sums < 2^23 OK
         acc = np.zeros((3, 7 * nk))
         for i in range(sa):

@@ -110,7 +110,6 @@ def main():
     m0 = ms
     y0 = jax.jit(jax.vmap(
         lambda m: trg.initial_state(cfg, settings, m)))(m0)
-    rhs_b = None
 
     def one_step(model, y):
         rhs = make_rhs(cfg, settings, model, None, mode, ec)

@@ -7,7 +7,6 @@ exercises the probing + k-power fit exactness on random dense inputs, the
 with_rsd gating, and the dispatch inside trg.compute_mode_coupling_full.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -12,8 +12,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from redtime_tpu import SolverConfig, RunSettings, run_batch
 from redtime_tpu import driver
+from redtime_tpu.driver import run_batch
 
 from test_sharding import _tiny_setup
 

@@ -126,3 +126,54 @@ def test_cli_preset_flags():
                             dtype="float64")
     cfg = cli._config(ns)
     assert cfg.nk == 64 and cfg.np_factor == 8 and cfg.a_early == 1e-50
+
+
+def test_cli_set_overrides():
+    """--set key=value reaches every SolverConfig field with the right
+    type (the remaining compile-time tier knobs, VERDICT r3 item 9)."""
+    import argparse
+
+    def ns(*kv):
+        return argparse.Namespace(preset="default", nk=None, mode="fft",
+                                  dtype="float64", set_kv=list(kv))
+
+    cfg = cli._config(ns("eabs_P=1e-9", "np_factor=8", "out_leg=dot",
+                         "growth_h_reset=true", "quad_order=20"))
+    assert cfg.eabs_P == 1e-9 and cfg.np_factor == 8
+    assert cfg.out_leg == "dot" and cfg.growth_h_reset is True
+    assert cfg.quad_order == 20
+    # overrides apply AFTER the preset
+    import dataclasses
+    base = cli._config(argparse.Namespace(
+        preset="high-accuracy", nk=None, mode="fft", dtype="float64",
+        set_kv=["erel_P=1e-4"]))
+    assert base.nk == 512 and base.erel_P == 1e-4
+    assert dataclasses.replace(base, erel_P=1e-6) == \
+        cli._config(argparse.Namespace(preset="high-accuracy", nk=None,
+                                       mode="fft", dtype="float64",
+                                       set_kv=[]))
+    with pytest.raises(SystemExit, match="unknown SolverConfig field"):
+        cli._config(ns("not_a_knob=1"))
+    with pytest.raises(SystemExit, match="expected int"):
+        cli._config(ns("nk=abc"))
+    with pytest.raises(SystemExit, match="expected a boolean"):
+        cli._config(ns("print_a=maybe"))
+    with pytest.raises(SystemExit, match="key=value"):
+        cli._config(ns("nk"))
+
+
+def test_cli_batch_packed_scheduler(batch_inputs):
+    """--scheduler packed --lanes 2 drives the work-queue scheduler from
+    the CLI and matches the chunked output within the controller band."""
+    tmp_path, params = batch_inputs
+    out = tmp_path / "out_packed"
+    rc = cli.main(["batch", "--output-dir", str(out), "--platform", "cpu",
+                   "--nk", "32", "--mode", "fft",
+                   "--scheduler", "packed", "--lanes", "2"] + params)
+    assert rc == 0
+    ref = tmp_path / "out"  # chunked outputs from the first test
+    for i in range(3):
+        a = np.loadtxt(out / f"redTime_M{i:03d}.dat")
+        b = np.loadtxt(ref / f"redTime_M{i:03d}.dat")
+        scale = np.max(np.abs(b), axis=0) + 1e-300
+        assert np.max(np.abs(a - b) / scale) < 1e-5

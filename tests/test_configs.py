@@ -1,8 +1,6 @@
 """Configuration-space smoke tests: non-default grids, extended output
 columns, high-accuracy-style settings (BASELINE configs 3-4)."""
 
-import dataclasses
-
 import numpy as np
 import pytest
 

@@ -3,10 +3,8 @@
 The dd helpers back the Pallas-fused engine kernels: every primitive must
 reproduce f64 arithmetic to ~1e-14 relative on wide dynamic ranges."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from redtime_tpu import dd
 

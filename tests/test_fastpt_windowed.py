@@ -7,7 +7,6 @@ output-leg rfft as a radix-r split-DIT.  Both must be numerically
 equivalent to slicing the full fft-mode engine outputs.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -3,7 +3,7 @@ reference example inputs."""
 
 import numpy as np
 
-from redtime_tpu.io import read_params_file, load_linear_data
+from redtime_tpu.io import read_params_file
 from redtime_tpu.io.camb import load_from_params
 
 

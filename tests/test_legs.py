@@ -4,8 +4,6 @@ silent)."""
 
 import dataclasses
 
-import pytest
-
 from redtime_tpu import fastpt
 from redtime_tpu.config import SolverConfig
 

@@ -3,9 +3,6 @@ batch fault isolation names the model), malformed inputs error with
 diagnostics instead of shifting fields or merging lines, and out-of-table
 settings fail loudly like the reference's aborts."""
 
-import os
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
