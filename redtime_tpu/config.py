@@ -59,6 +59,14 @@ class SolverConfig:
     # --- eta (time) integration tolerances (reference redTime.cc:140-145) ---
     eabs_P: float = 1e-7
     erel_P: float = 1e-2
+    eta_tableau: str = "rkf45"   # embedded RK pair for the eta evolution:
+    # 'rkf45' (the reference's gsl rkf45, redTime.cc:1593 — default for
+    # step-for-step trajectory parity), 'dopri5', or 'dop853' (8th
+    # order: at the HIGH_ACCURACY tolerances RKF45's 5th order needs
+    # ~260 accepted steps over the eta range while DOP853 converges in
+    # far fewer — the throughput knob for tight-tolerance presets;
+    # both land on the same converged trajectory at erel <= 1e-6,
+    # agreement measured in scripts/probe_nk512_legs.py / test_configs)
 
     # --- 1-loop mode evaluation redshift (reference redTime.cc:1285) ---
     z1l: float = 10.0
@@ -119,6 +127,15 @@ class SolverConfig:
     print_i: bool = False        # PRINTI
     print_q: bool = False        # PRINTQ
     print_bias: bool = False     # PRINTBIAS
+    fill_pt_full_trg: bool = False  # reference wart fix (opt-in): in
+    # full-TRG mode the output-time mode-coupling recomputation is gated
+    # on SWITCH_1LOOP (redTime.cc:1646), so the TNS B-term and
+    # McDonald-Roy columns print ZERO in the production configuration —
+    # SURVEY section 2 documents the caveat and invites fixing it behind
+    # a flag.  True computes PT/PMR (and the PRINTA block) at each
+    # output time from the EVOLVED spectra, populating columns 14-17
+    # that emulator users otherwise lose; False (default) reproduces the
+    # reference bit-for-bit.
 
     # --- backend ---
     fft_mode: str = "auto"       # 'auto' | 'fft' | 'matmul'
@@ -163,6 +180,17 @@ class SolverConfig:
     # contraction dim folded into the activation, exact f64 multiplies)
     # the int8 scheme reproduces the f64 einsum to ~1e-16 of the result
     # maximum (scripts/probe_pz_ozaki.py).  'auto' = ozaki on TPU.
+    oz_bits: int = 0             # Ozaki pack coverage in mantissa bits:
+    # 0 = full f64 coverage (the round-2/3 behavior, ~1e-11..1e-16 of
+    # scale per leg).  > 0 truncates each leg's diagonal pack to
+    # ~oz_bits of the BALANCED matrix mantissa (plus a per-leg guard
+    # for its measured cancellation: out +13 bits for the RSD-family
+    # J cancellation, pz +27 for the Toeplitz contraction's ~1e8
+    # element cancellation), shrinking pack bytes — the engine's HBM
+    # streaming cost — roughly linearly.  At large grids the packs ARE
+    # the per-eval cost (nk=512: 2.6 GB full vs ~1.5 GB at 42 bits),
+    # so tight-tolerance presets trade ~1e-12 -> ~1e-9-grade engine
+    # noise (still 100x below erel_P=1e-6) for throughput.
     oz_budget_bytes: int = 0     # HBM budget for the Ozaki int8 diagonal
     # packs; 0 = auto (fastpt.OZ_AUTO_BUDGET, 6 GB — admits the full
     # nk=512 pack set, ~2.6 GB).  'auto' legs are enabled greedily in

@@ -162,8 +162,10 @@ def build_output_block(cfg: SolverConfig, settings: RunSettings,
 
     # 1-loop mode recomputes the full mode coupling at the output time from
     # the evolved spectra (reference :1646-1653); full-TRG mode leaves the
-    # PT stack at zero (documented output caveat, SURVEY section 2)
-    need_mc = settings.nonlinear and settings.one_loop and (
+    # PT stack at zero (documented output caveat, SURVEY section 2) unless
+    # cfg.fill_pt_full_trg opts into computing it from the evolved spectra
+    need_mc = settings.nonlinear and (
+        settings.one_loop or cfg.fill_pt_full_trg) and (
         settings.print_rsd or cfg.print_a or cfg.print_bias)
     if need_mc:
         A_u, _, PTjm, PMR = trg.compute_mode_coupling_full(
