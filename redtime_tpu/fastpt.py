@@ -304,6 +304,18 @@ def _oz_pairs(sa: int, sb: int, cut: int) -> int:
                for d in range(cut + 1))
 
 
+def _leg_cut(full: int, q: int, oz_bits: int, extra: int) -> int:
+    """Diagonal cut for a pack: `full` is the leg's full-coverage cut;
+    with cfg.oz_bits > 0, truncate to ~(oz_bits + extra) mantissa bits
+    of the balanced matrix (extra = the leg's measured cancellation
+    guard).  Dropped diagonals weigh <= 2^-(q*(cut+2)) of the balanced
+    operand scale; the consumers iterate `enumerate(pack)` so they
+    adapt to any cut without code changes."""
+    if oz_bits <= 0:
+        return full
+    return max(1, min(full, -(-(oz_bits + extra) // q) - 1))
+
+
 def _oz_leg_bytes(cfg: SolverConfig) -> dict:
     """Per-leg int8 diagonal-pack sizes in bytes.  The packs scale as
     (pair count) x NFAM x 2np x (nk+1) for the out leg plus
@@ -314,18 +326,25 @@ def _oz_leg_bytes(cfg: SolverConfig) -> dict:
     K = 2 * cfg.npts
     q = min(_oz_q(K), 7)
     sa, sb = -(-56 // q), -(-53 // q)
-    out_b = _oz_pairs(sa, sb, max(sa, sb) - 1) * NFAM * K * (cfg.nk + 1)
+    bits = cfg.oz_bits
+    cut_out = _leg_cut(max(sa, sb) - 1, q, bits, OZ_EXTRA_OUT)
+    out_b = _oz_pairs(sa, sb, cut_out) * NFAM * K * (cfg.nk + 1)
     qt = min(_oz_q(cfg.npts), 7)
     sat = _oz_sa(qt)
     sbt = -(-53 // qt)
-    tab_b = _oz_pairs(sat, sbt, sat - 2) * cfg.npts * K
-    pz_b = _oz_pairs(sat, sbt, max(sat, sbt) - 1) * cfg.npts \
-        * NFAM_J * cfg.nk
+    tab_b = _oz_pairs(sat, sbt, _leg_cut(sat - 2, qt, bits, 0)) \
+        * cfg.npts * K
+    pz_b = _oz_pairs(sat, sbt,
+                     _leg_cut(max(sat, sbt) - 1, qt, bits, OZ_EXTRA_PZ)) \
+        * cfg.npts * NFAM_J * cfg.nk
     qe = min(_oz_q(cfg.nk), 7)
     ext_b = _oz_pairs(_oz_sa(qe), -(-53 // qe),
-                      max(_oz_sa(qe), -(-53 // qe)) - 1) \
+                      _leg_cut(max(_oz_sa(qe), -(-53 // qe)) - 1,
+                               qe, bits, 0)) \
         * cfg.nk * cfg.npts
-    fwd_b = _oz_pairs(sat, sbt, max(sat, sbt) - 1) * cfg.npts * cfg.npts
+    fwd_b = _oz_pairs(sat, sbt,
+                      _leg_cut(max(sat, sbt) - 1, qt, bits, 0)) \
+        * cfg.npts * cfg.npts
     return {"out": out_b, "tab": tab_b, "pz": pz_b, "fwd": ext_b + fwd_b}
 
 
@@ -357,6 +376,14 @@ def _oz_enabled(cfg: SolverConfig) -> frozenset:
 # constants and the solve working set; 6 GB leaves the same headroom
 # proportionally for nk=1024-class grids to drop their largest legs.
 OZ_AUTO_BUDGET = 6 * 10 ** 9
+
+# Per-leg cancellation guards for the oz_bits truncation (extra mantissa
+# bits kept beyond the requested coverage): the composite out leg
+# concentrates the RSD-family J cancellation (~2^13 of slice-product
+# scale, _oz_sa docstring); the PZ Toeplitz contraction cancels ~1e8
+# (~2^27) per element (probe_pz_ozaki.py).
+OZ_EXTRA_OUT = 13
+OZ_EXTRA_PZ = 27
 
 
 @functools.lru_cache(maxsize=8)
@@ -419,8 +446,10 @@ def _ozaki_out_consts(cfg: SolverConfig):
     # with matrix slice d-i at the shared scale 2^{-q(d+2)}; each
     # diagonal is ONE batched int8 dot over a K-concat of slices
     sa = -(-56 // q)
-    cut = max(sa, sb) - 1        # keeps every pair with min(i,j) = 0;
-    # dropped pairs have i,j >= 1 and i+j > cut, weighing <= 2^{-q(cut+4)}
+    # full coverage keeps every pair with min(i,j) = 0 (dropped pairs
+    # have i,j >= 1 and i+j > cut, weighing <= 2^{-q(cut+4)});
+    # cfg.oz_bits > 0 truncates to ~oz_bits + the RSD-cancellation guard
+    cut = _leg_cut(max(sa, sb) - 1, q, cfg.oz_bits, OZ_EXTRA_OUT)
     diags = []
     for d in range(cut + 1):
         js = [d - i for i in range(sa) if 0 <= d - i < sb]
@@ -477,7 +506,8 @@ def _ozaki_tab_consts(cfg: SolverConfig):
     q = min(_oz_q(K), 7)
     sa = _oz_sa(q)
     sb = -(-53 // q)
-    cut = sa - 2                                  # measured ~3e-13 of scale
+    # full: sa - 2 measured ~3e-13 of scale; oz_bits truncates further
+    cut = _leg_cut(sa - 2, q, cfg.oz_bits, 0)
     mx = np.abs(B).max(axis=0, keepdims=True)
     e = 2.0 ** (np.floor(np.log2(np.maximum(mx, 1e-300))) + 2)
     r = B / e
@@ -566,7 +596,10 @@ def _ozaki_pz_consts(cfg: SolverConfig):
     npts, nk = g.npts, g.nk
     T_sl = np.asarray(co.toeplitz[:, g.nshift:g.nshift + nk, :])
     M = T_sl.transpose(2, 0, 1).reshape(npts, NFAM_J * nk)
-    return _oz_pack_np(M)
+    qt = min(_oz_q(npts), 7)
+    cut = _leg_cut(max(_oz_sa(qt), -(-53 // qt)) - 1, qt,
+                   cfg.oz_bits, OZ_EXTRA_PZ)
+    return _oz_pack_np(M, cut)
 
 
 @functools.lru_cache(maxsize=8)
@@ -579,7 +612,13 @@ def _ozaki_fwd_consts(cfg: SolverConfig):
     (dropped pairs weigh ~2^-77 of operand scale vs the dot's 2^-53)."""
     M, _ = _pab_ext(cfg)                      # [npts, nk], used as lnP @ M.T
     fwd = _half_leg_consts(cfg)[0]            # [np, 2*half]
-    return _oz_pack_np(np.asarray(M).T), _oz_pack_np(np.asarray(fwd))
+
+    def cut_for(K):
+        q = min(_oz_q(K), 7)
+        return _leg_cut(max(_oz_sa(q), -(-53 // q)) - 1, q, cfg.oz_bits, 0)
+
+    return (_oz_pack_np(np.asarray(M).T, cut_for(cfg.nk)),
+            _oz_pack_np(np.asarray(fwd), cut_for(cfg.npts)))
 
 
 @functools.lru_cache(maxsize=8)

@@ -25,7 +25,8 @@ from redtime_tpu import background as bg
 from redtime_tpu import model as mdl
 from redtime_tpu.config import RunSettings, SolverConfig
 from redtime_tpu.grids import make_grids
-from redtime_tpu.ode import RKF45, integrate_interval, rk_step
+from redtime_tpu.ode import (DOP853, DOPRI5, RKF45, integrate_interval,
+                             rk_step)
 
 NUP, NUI, NELL, NUQ = 3, 14, 3, 24
 NU_STATE = NUP + NUI + NUQ  # 41
@@ -267,6 +268,16 @@ def initial_state(cfg: SolverConfig, settings: RunSettings,
         [lnP, jnp.zeros((NUI + NUQ, g.nk), dtype=cfg.jdtype)]).reshape(-1)
 
 
+def eta_tableau(cfg: SolverConfig):
+    """The embedded RK pair for the eta evolution.  'rkf45' is the
+    reference's integrator (gsl rkf45, redTime.cc:1593) and the parity
+    default; 'dop853' is the tight-tolerance throughput option (at the
+    HIGH_ACCURACY tolerances the 8th-order pair takes several-fold
+    fewer steps over the same converged trajectory)."""
+    return {"rkf45": RKF45, "dopri5": DOPRI5,
+            "dop853": DOP853}[cfg.eta_tableau]
+
+
 def evolve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
            mode: str = "auto", ec=None):
     """Integrate the Time-RG system through all output redshifts.
@@ -305,7 +316,8 @@ def evolve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
     def seg(carry, t0t1):
         y, h = carry
         y2, h2 = integrate_interval(rhs, t0t1[0], t0t1[1], y, h,
-                                    cfg.eabs_P, cfg.erel_P, RKF45)
+                                    cfg.eabs_P, cfg.erel_P,
+                                    eta_tableau(cfg))
         return (y2, h2), y2
 
     segs = jnp.stack([jnp.asarray(t0s), jnp.asarray(etasteps)], axis=1)
@@ -347,7 +359,7 @@ def evolve_packed(cfg: SolverConfig, settings: RunSettings, models,
     etasteps = jnp.asarray(settings.etasteps())
     eta_fin = float(np.log(1.0 / settings.a_in))
     h_init = jnp.float64(1e-2 * eta_fin)
-    tab = RKF45
+    tab = eta_tableau(cfg)
     nflat = NU_STATE * nk
     one_loop = settings.nonlinear and settings.one_loop
     if one_loop:

@@ -82,13 +82,19 @@ def main():
     ap.add_argument("--acc", action="store_true")
     ap.add_argument("--f32", action="store_true",
                     help="engine_transform_dtype=float32 route")
+    ap.add_argument("--bits", type=int, default=0,
+                    help="oz_bits pack truncation (0 = full coverage)")
+    ap.add_argument("--tableau", default="rkf45",
+                    choices=("rkf45", "dopri5", "dop853"),
+                    help="eta integrator tableau")
     args = ap.parse_args()
 
     backend = jax.default_backend()
     mode = "matmul" if backend == "tpu" else "fft"
     print(f"backend {backend}, mode {mode}")
 
-    cfg = SolverConfig.high_accuracy(fft_mode=mode)
+    cfg = SolverConfig.high_accuracy(fft_mode=mode, oz_bits=args.bits,
+                                     eta_tableau=args.tableau)
     if args.f32:
         cfg = dataclasses.replace(cfg, engine_transform_dtype="float32")
     if args.dot:
@@ -102,7 +108,9 @@ def main():
 
     print(f"nk=512 full-TRG batch={n} "
           f"({'dot' if args.dot else 'ozaki'}"
-          f"{'/f32' if args.f32 else ''}):")
+          f"{'/f32' if args.f32 else ''}"
+          f"{f'/bits{args.bits}' if args.bits else ''}"
+          f"/{args.tableau}):")
     res = timed(cfg, settings, cosmos, lins, mode, n)
 
     if args.acc:
