@@ -141,6 +141,36 @@ def pz_quadrature(cfg: SolverConfig, P_ext: np.ndarray, k: np.ndarray,
     return out
 
 
+def jreg_ir_counterterm(cfg: SolverConfig, P_ext: np.ndarray,
+                        k: np.ndarray) -> np.ndarray:
+    """The piece the FAST-PT regularization removes from J_{2,-2,0}.
+
+    The naive (alpha, beta, ell) = (2, -2, 0) mode-coupling integral
+    contains an IR s -> 0 contribution — the integrand approaches
+    (k/s)^2 P(k) P(s), whose angular integral collapses to
+
+        Delta(k) = k^2 P(k) / (2 pi^2) * int_0^inf dq P(q).
+
+    The engine's regularized transform (fastpt Jreg path; reference
+    `src/redTime.cc:411-511`, the MFHB 1603.04826 (2,-2,0) special case)
+    EXCLUDES this piece:  J_naive = J_reg + Delta.  Verified empirically
+    to 1e-3 of Delta over the mid-k decade (tests/test_quadrature.py::
+    test_jreg_regularization_identity).  Needed to build the continuum
+    counterpart of any assembled quantity that reads the regularized
+    family (the A_{acd,bef} slots, reference `redTime.cc:813-966`).
+    Returns Delta(k) [len(k)] for the windowed spectrum P_ext.
+    """
+    lo, hi, P_of = _p_interp(cfg, P_ext)
+    lq, wlq = _gl_lnq(lo, hi, 4000)
+    q = np.exp(lq)
+    i_p = np.sum(wlq * q * P_of(q))           # int P(q) dq
+    k = np.atleast_1d(np.asarray(k, np.float64))
+    g = make_grids(cfg)
+    pk = np.exp(np.interp(np.log(k), g.lnk_ext,
+                          np.log(np.maximum(np.asarray(P_ext), 1e-300))))
+    return k * k * pk * i_p / (2.0 * np.pi ** 2)
+
+
 # ---------------------------------------------------------------------------
 # GSL-replica adaptive Gauss-Kronrod quadrature (jittable)
 

@@ -87,6 +87,93 @@ def test_pz_matches_continuum(engine_J, fi, n):
 
 
 # ---------------------------------------------------------------------------
+# The REGULARIZED family and the full assembled A-slots (round-4
+# VERDICT item 7): an FFT-log-independent check of the Jreg + PZ +
+# coefficient path.
+
+@pytest.fixture(scope="module")
+def aslot_features(engine_J):
+    """Engine features (J/PZ windowed, equal P rows) and their continuum
+    quadrature counterparts at four solver-grid targets."""
+    cfg, g, P_ext, Jw = engine_J
+    ec = fastpt.engine_consts(cfg, "fft")
+    _, J_lo, PZw = fastpt.compute_J_PZ_windowed(
+        cfg, jnp.asarray(np.broadcast_to(P_ext, (3, g.npts))), True,
+        "fft", ec)
+    PZw = np.asarray(PZw)
+    jlo = float(np.asarray(J_lo).ravel()[0]) if np.size(J_lo) else 0.0
+
+    idx = np.array([24, 48, 72, 96])
+    ks = np.asarray(g.k)[idx]
+    Pk = P_ext[g.nshift:g.nshift + g.nk][idx]
+
+    Jq = np.zeros((7, len(ks)))
+    for n in range(7):
+        al, el = fastpt.ALPHA_N[n], fastpt.ELL_N[n]
+        # the regularized family's naive integral has a weak x -> 1
+        # (s -> 0) endpoint; it needs the fine angular order
+        nx = 1024 if n == 1 else 128
+        Jq[n] = quadrature.j_quadrature(cfg, P_ext, ks, al, -al, el,
+                                        n_q=800, n_x=nx)
+    # continuum counterpart of Jreg: naive minus the removed IR piece
+    Jq[1] -= quadrature.jreg_ir_counterterm(cfg, P_ext, ks)
+    PZq = np.zeros((7, len(ks)))
+    for fi, n in enumerate(fastpt.Z_N):
+        PZq[fi] = quadrature.pz_quadrature(cfg, P_ext, ks, n,
+                                           n_q=2500) * Pk
+
+    F_eng = np.zeros((190, len(ks)))
+    F_quad = np.zeros((190, len(ks)))
+    for f in range(63):
+        n, r = divmod(f, 9)
+        F_eng[f] = np.asarray(Jw)[n, r // 3, r % 3][idx]
+        F_quad[f] = Jq[n]
+        F_eng[63 + f] = PZw[n, r // 3, r % 3][idx]
+        F_quad[63 + f] = PZq[n]
+        # Jn0 features (126..188) have zero coefficients in the A slots
+    F_eng[189] = jlo
+    F_quad[189] = jlo
+    return cfg, g, ks, idx, F_eng, F_quad
+
+
+def test_jreg_regularization_identity(engine_J):
+    """What the regularization removes is EXACTLY the IR s->0 piece:
+    J_naive(2,-2,0) - J_reg(engine) == k^2 P(k) int P dq / (2 pi^2),
+    verified where the piece is well above the 2D-GL noise floor."""
+    cfg, g, P_ext, Jw = engine_J
+    idx = np.array([48, 64, 80, 96])
+    ks = np.asarray(g.k)[idx]
+    naive = quadrature.j_quadrature(cfg, P_ext, ks, 2, -2, 0,
+                                    n_q=800, n_x=1024)
+    delta = naive - np.asarray(Jw)[1, 0, 0][idx]
+    model = quadrature.jreg_ir_counterterm(cfg, P_ext, ks)
+    assert np.abs(delta / model - 1.0).max() <= 5e-3, delta / model
+
+
+def test_assembled_a_slots_match_continuum(aslot_features):
+    """All 14 assembled A_{acd,bef} slots (the regularized Jreg + PZ +
+    rational-coefficient path, reference redTime.cc:813-966) agree with
+    a fully continuum assembly: naive 2D GL quadrature per J family,
+    the Jreg IR counterterm, and 1D Z-kernel quadratures.  This is the
+    FFT-log-independent check of the REGULARIZED path that the
+    per-family tests cannot provide (the divergent pieces only cancel
+    in the assembled combination).  Inner targets agree at ~5e-5 of
+    slot scale; the highest-k target sits in the UV taper where the
+    engine's grid-sample window and the GL interpolant differ (~1e-2,
+    same class as test_pz_matches_continuum's positive-n bound)."""
+    from redtime_tpu import assembly
+    cfg, g, ks, idx, F_eng, F_quad = aslot_features
+    M = assembly._asm_probe(ks)
+    for o in range(14):
+        eng = np.einsum("fn,fn->n", M[o], F_eng)
+        qd = np.einsum("fn,fn->n", M[o], F_quad)
+        scale = np.abs(eng).max() + 1e-300
+        dev = np.abs(qd - eng) / scale
+        assert dev[:3].max() <= 5e-4, (o, dev)     # interior targets
+        assert dev[3] <= 3e-2, (o, dev)            # UV-taper target
+
+
+# ---------------------------------------------------------------------------
 # GSL-replica adaptive GK61 (qag)
 
 def test_qk61_rule_exactness_and_embedded_gauss():
