@@ -175,9 +175,11 @@ def main():
     # BASELINE config list names as first-class (round-3 VERDICT item 2).
     # Small batch: each nk=512 full-TRG solve is seconds-scale.
     if os.environ.get("BENCH_SKIP_HIGHACC") != "1" and backend == "tpu":
-        # batch 16: measured 22.9/min at 4, 29.1 at 8, 34.7 at 16 — the
-        # shared int8 packs amortize across lanes (probe_nk512.py)
-        n_ha = int(os.environ.get("BENCH_HIGHACC_BATCH", "16"))
+        # batch=chunk=32: the shared int8 packs amortize across lanes —
+        # measured 22.9/min at 4, 29.1 at 8, 35.0 at 16, 37.0 at 32
+        # (median-of-3); the affine cost law T(n) = 4.4ms + 0.72ms*n puts
+        # the asymptote at ~52/min (docs/TPU_NOTES.md nk=512 cost law)
+        n_ha = int(os.environ.get("BENCH_HIGHACC_BATCH", "32"))
         cfg_ha = SolverConfig.high_accuracy(fft_mode=mode)
         lin_ha = _example_inputs(cfg_ha)
         cosmos_ha = jax.tree_util.tree_map(lambda x: x[:n_ha], cosmos)
@@ -185,13 +187,13 @@ def main():
             lambda *xs: jnp.stack(xs), *([lin_ha] * n_ha))
         try:
             res = driver.run_batch(cfg_ha, settings_full, cosmos_ha,
-                                   lins_ha, mode=mode)
+                                   lins_ha, mode=mode, max_chunk=n_ha)
             res.table.block_until_ready()
             rates_ha = []
             for _ in range(2):
                 t0 = time.time()
                 res = driver.run_batch(cfg_ha, settings_full, cosmos_ha,
-                                       lins_ha, mode=mode)
+                                       lins_ha, mode=mode, max_chunk=n_ha)
                 res.table.block_until_ready()
                 rates_ha.append(n_ha / (time.time() - t0) * 60.0)
             print(f"# tertiary: HIGH_ACCURACY nk=512 full-TRG "

@@ -450,9 +450,16 @@ def prepare_model(cfg: SolverConfig, c: CosmoParams,
     # grow D ~ a^3 from a_early, pushing the stored scale past the f32
     # exponent ceiling of the TPU's emulated f64 (docs/TPU_NOTES.md) —
     # device_put of such a host-prepared table lands as inf and every
-    # growth lookup goes NaN.  Rescale by Dnorm when it is large; the
-    # s == 1 branch leaves physical cosmologies bit-identical.
-    s = jnp.where(jnp.max(jnp.abs(Dnorm)) > 1e30, Dnorm,
+    # growth lookup goes NaN.  The SMALL end faults the same way: the
+    # v01-compat ramp from a_early=1e-50 leaves the stored scale at
+    # ~1e-45, below the f32 NORMAL floor, so device_put flushes the
+    # whole table to zero (measured round 4: run_batch with
+    # SolverConfig.v01_compat crashed the TPU worker; host leaves g_G /
+    # g_Dnorm / g_dDda all ~1e-45).  Rescale by Dnorm when its scale
+    # leaves [1e-25, 1e30]; the s == 1 branch leaves physical
+    # default/high-accuracy cosmologies bit-identical.
+    dmax = jnp.max(jnp.abs(Dnorm))
+    s = jnp.where((dmax > 1e30) | (dmax < 1e-25), Dnorm,
                   jnp.ones_like(Dnorm))
     G_red = G_red / s
     dDda_red = dDda_red / s

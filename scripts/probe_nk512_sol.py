@@ -49,20 +49,34 @@ def _design_cosmo(row):
 
 
 def hbm_bw_measure():
-    """Measured streaming bandwidth: out = a + b on 512 MB f32 operands
-    (reads 1 GB, writes 0.5 GB per call)."""
+    """Measured streaming bandwidth: a dependency CHAIN of adds on a
+    512 MB f32 operand inside one jit (reads 1 GB, writes 0.5 GB per
+    link; the chain prevents elision/overlap — a loop of independent
+    adds measured an impossible 52 TB/s on this runtime)."""
     n = 128 * 1024 * 1024  # 512 MB per array
     a = jnp.ones((n,), jnp.float32)
-    b = jnp.ones((n,), jnp.float32)
-    f = jax.jit(lambda a, b: a + b)
-    f(a, b).block_until_ready()
-    reps = 10
+    b = jnp.full((n,), 1e-9, jnp.float32)
+    links = 10
+
+    @jax.jit
+    def chain(a, b):
+        for _ in range(links):
+            a = jax.lax.optimization_barrier(a + b)
+        return a
+
+    # NOTE: on the axon tunnel backend block_until_ready does NOT
+    # reliably block (measured: a 1-rep "blocked" call returned in
+    # 0.25 ms and the subsequent host fetch took the real time), so
+    # every timing here ends with a tiny HOST FETCH to force sync.
+    r = chain(a, b)
+    _ = np.asarray(r[:1])
+    reps = 5
     t0 = time.time()
     for _ in range(reps):
-        c = f(a, b)
-    c.block_until_ready()
-    dt = (time.time() - t0) / reps
-    bw = 3 * 4 * n / dt  # 2 reads + 1 write
+        r = chain(a, b)
+    _ = np.asarray(r[:1])
+    dt = (time.time() - t0) / (reps * links)
+    bw = 3 * 4 * n / dt  # 2 reads + 1 write per link
     return bw
 
 
@@ -91,8 +105,6 @@ def main():
     lin = _example_inputs(cfg)
     nmax = max(int(c) for c in args.chunks.split(","))
     rows = design.models_from_unit_cube(design.latin_hypercube(nmax, seed=42))
-    k = jnp.asarray(np.asarray(__import__(
-        "redtime_tpu.grids", fromlist=["make_grids"]).make_grids(cfg).k))
     ec = fastpt.engine_consts(cfg, mode)
 
     for chunk in (int(c) for c in args.chunks.split(",")):
@@ -118,12 +130,12 @@ def main():
         nbytes = float(ca.get("bytes accessed", 0.0))
         flops = float(ca.get("flops", 0.0))
         out = compiled(ms, y0, ec)
-        jax.block_until_ready(out)
-        reps = 10
+        _ = np.asarray(out[:1, :1])     # force sync (see hbm_bw_measure)
+        reps = 60
         t0 = time.time()
         for _ in range(reps):
             out = compiled(ms, y0, ec)
-        jax.block_until_ready(out)
+        _ = np.asarray(out[:1, :1])
         dt = (time.time() - t0) / reps
         sol = nbytes / bw
         print(f"chunk {chunk:3d}: bytes/eval {nbytes / 1e9:.2f} GB, "

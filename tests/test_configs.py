@@ -191,3 +191,32 @@ def test_extreme_de_growth_table_stays_in_f32_exponent_range():
 
     # the trial-step finite-range guards in the RHS never bind on entry
     assert trg.LNP_MAX >= 20.0 and trg.LNP_MIN <= -60.0
+
+
+def test_v01_growth_table_stays_above_f32_normal_floor():
+    """The SMALL-end twin of the test above: the v01-compat ramp from
+    a_early=1e-50 (reference README.md:135-137) leaves the growth
+    table's arbitrary common scale at ~1e-45 — BELOW the f32 normal
+    floor, so device_put onto the TPU's f32-exponent-range emulated f64
+    flushes the whole table to zero and the solve NaN-crashes the worker
+    (measured round 4: run_batch with SolverConfig.v01_compat faulted
+    the TPU).  prepare_model must renormalize the small end away too."""
+    cosmo, lin = _toy_inputs()
+    cfg = SolverConfig.v01_compat(growth_n_lna=16, growth_n_lnk=8,
+                                  quad_panels=16, quad_order=8)
+    m = jax.jit(lambda c, l: mdl.prepare_model(cfg, c, l))(cosmo, lin)
+    for leaf in jax.tree_util.tree_leaves(m):
+        a = np.asarray(leaf)
+        assert np.all(np.isfinite(a))
+        assert np.all(np.abs(a) < 3.0e38), float(np.abs(a).max())
+        nz = np.abs(a[a != 0.0])
+        if nz.size:
+            # representable as NORMAL f32 (no subnormal flush on device)
+            assert nz.min() > 1.2e-38, float(nz.min())
+    D0, _ = mdl.growth_D_f(m, 0.0)
+    assert np.allclose(np.asarray(D0), 1.0, atol=1e-10)
+    # growth still behaves: D decreasing toward high z
+    D2, _ = mdl.growth_D_f(m, 2.0)
+    D50, _ = mdl.growth_D_f(m, 50.0)
+    assert np.all(np.asarray(D50) < np.asarray(D2))
+    assert np.all(np.asarray(D2) < 1.0)
