@@ -87,14 +87,22 @@ def main():
     ap.add_argument("--tableau", default="rkf45",
                     choices=("rkf45", "dopri5", "dop853"),
                     help="eta integrator tableau")
+    ap.add_argument("--preset", default="high-accuracy",
+                    choices=("high-accuracy", "v01-compat"),
+                    help="big-grid preset to measure")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="override run_batch max_chunk (0 = default)")
     args = ap.parse_args()
 
     backend = jax.default_backend()
     mode = "matmul" if backend == "tpu" else "fft"
     print(f"backend {backend}, mode {mode}")
 
-    cfg = SolverConfig.high_accuracy(fft_mode=mode, oz_bits=args.bits,
-                                     eta_tableau=args.tableau)
+    mk = {"high-accuracy": SolverConfig.high_accuracy,
+          "v01-compat": SolverConfig.v01_compat}[args.preset]
+    cfg = mk(fft_mode=mode, oz_bits=args.bits, eta_tableau=args.tableau)
+    if args.chunk:
+        os.environ["REDTIME_MAX_CHUNK"] = str(args.chunk)
     if args.f32:
         cfg = dataclasses.replace(cfg, engine_transform_dtype="float32")
     if args.dot:
@@ -106,7 +114,7 @@ def main():
     n = args.batch
     cosmos, lins = _inputs(cfg, n)
 
-    print(f"nk=512 full-TRG batch={n} "
+    print(f"nk={cfg.nk} ({args.preset}) full-TRG batch={n} "
           f"({'dot' if args.dot else 'ozaki'}"
           f"{'/f32' if args.f32 else ''}"
           f"{f'/bits{args.bits}' if args.bits else ''}"

@@ -92,6 +92,18 @@ def test_high_accuracy_preset_runs():
     assert table.shape[1] == 512
 
 
+def test_v01_compat_preset_runs():
+    """v0.1-compat preset (reference README.md:123-155) end to end:
+    nk=256, np=8nk, wide beta_P k-range, a_early=1e-50 ramp — the
+    configuration that exposed the growth-scale subnormal fault on TPU
+    (see test_v01_growth_table_stays_above_f32_normal_floor)."""
+    cfg = SolverConfig.v01_compat(**SMALL)
+    assert cfg.nk == 256 and cfg.npts == 2048
+    assert cfg.a_early == 1e-50 and cfg.beta_k_max == 20.0
+    table = _run(cfg, RunSettings(z_out=(0.0,)))
+    assert table.shape[1] == 256
+
+
 def test_modern_13col_transfer(tmp_path):
     """13-column (pip CAMB) transfer files parse through the same loader."""
     import numpy as np
