@@ -2,14 +2,26 @@
 """Benchmark: batched Time-RG cosmologies per minute.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "lines": {...}}
 
 HEADLINE: the PRODUCTION configuration — full Time-RG mode (the "1 0 1 1"
 switches every reference production script uses, scripts/runRedTime:100-101;
 the FAST-PT engine runs inside the RHS), nk=128, the emulator suite's 8
 output redshifts, batched.  Baseline target (BASELINE.json): >= 100
-cosmologies/min on a v5e.  A secondary 1-loop line (round-1's metric) goes
-to stderr as a comment.
+cosmologies/min on a v5e.
+
+The `lines` block carries EVERY benched configuration machine-readably
+(round-4 VERDICT item 2: secondary/tertiary numbers used to live only in
+stderr comments, which the artifact's captured tail truncated):
+
+  headline   full-TRG nk=128 f64, Mira-Titan LHS design batch
+  secondary  1-loop fast path (round-1's metric), f32 stepping on TPU
+  tertiary   HIGH_ACCURACY nk=512 full-TRG (reference ifdef tier,
+             redTime.cc:90-94)
+  quaternary v01-compat preset (nk=256, np=8nk, reference
+             README.md:123-155 — BASELINE config[3]) full-TRG
+
+Each line records {value (median), lo, hi (spread), n (batch), unit}.
 
 Accuracy contract for the benched configuration: the same solver/dtype/mode
 passes the reference's own 32-model criteria (tests/test_golden_32models.py
@@ -53,6 +65,15 @@ from redtime_tpu.config import CosmoParams, RunSettings, SolverConfig  # noqa: E
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 BASELINE = 100.0  # cosmologies/min target
 Z_OUT_PROD = (2.02, 1.61, 1.01, 0.66, 0.43, 0.24, 0.10, 0.0)
+
+LINES = {}  # name -> {value, lo, hi, n, unit} (machine-readable artifact)
+
+
+def _record(name, med, lo, hi, n, note=""):
+    LINES[name] = {"value": round(med, 2), "lo": round(lo, 2),
+                   "hi": round(hi, 2), "n": n, "unit": "cosmologies/min"}
+    print(f"# {name}: {med:.1f} cosmologies/min "
+          f"(spread {lo:.1f}..{hi:.1f}, batch {n}){note}", file=sys.stderr)
 
 
 def _accelerator_responsive(timeout_s: float = 180.0) -> bool:
@@ -100,7 +121,8 @@ def _inputs(cfg):
     return cosmos, lins
 
 
-def _timed_batch(cfg, settings, cosmos, lins, mode, repeats=None):
+def _timed_batch(cfg, settings, cosmos, lins, mode, repeats=None,
+                 n=None, **kw):
     """Warm once (compile), then time fresh end-to-end batches (host
     prepare + device solve, chunked/overlapped inside run_batch) and
     report the MEDIAN of `repeats` runs with the spread — this host is
@@ -108,17 +130,29 @@ def _timed_batch(cfg, settings, cosmos, lins, mode, repeats=None):
     run-to-run (measured up to 1.7x on the 1-loop path)."""
     if repeats is None:
         repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    res = driver.run_batch(cfg, settings, cosmos, lins, mode=mode)
+    if n is None:
+        n = BATCH
+    res = driver.run_batch(cfg, settings, cosmos, lins, mode=mode, **kw)
     res.table.block_until_ready()
     rates = []
     for _ in range(repeats):
         t0 = time.time()
-        res = driver.run_batch(cfg, settings, cosmos, lins, mode=mode)
+        res = driver.run_batch(cfg, settings, cosmos, lins, mode=mode, **kw)
         res.table.block_until_ready()
-        rates.append(BATCH / (time.time() - t0) * 60.0)
+        rates.append(n / (time.time() - t0) * 60.0)
     bad = driver.finite_report(res)
     assert len(bad) == 0, f"non-finite lanes in bench batch: {list(bad)}"
     return float(np.median(rates)), min(rates), max(rates)
+
+
+def _sub_batch(cosmos, lins, lin_one, n):
+    """First n cosmologies of the design, with linear inputs rebuilt for
+    a different grid config (lin_one)."""
+    del lins
+    cosmos_n = jax.tree_util.tree_map(lambda x: x[:n], cosmos)
+    lins_n = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *([lin_one] * n))
+    return cosmos_n, lins_n
 
 
 def main():
@@ -151,8 +185,7 @@ def main():
     # headline: production full-TRG mode
     settings_full = RunSettings(one_loop=False, z_out=Z_OUT_PROD)
     per_min, lo, hi = _timed_batch(cfg, settings_full, cosmos, lins, mode)
-    print(f"# headline spread over repeats: {lo:.1f}..{hi:.1f} "
-          f"cosmologies/min", file=sys.stderr)
+    _record("headline_fulltrg_nk128", per_min, lo, hi, BATCH)
 
     # secondary: 1-loop fast path (round-1's metric) in its TPU-native f32
     # stepping mode (the engine there stays f64 — cache + output blocks).
@@ -164,45 +197,53 @@ def main():
         cfg_1l = SolverConfig(fft_mode=mode, dtype=dt_1l)
         settings_1l = RunSettings(
             one_loop=True, z_out=(5.0, 4.0, 3.0, 2.0, 1.0, 0.5, 0.0))
-        per_min_1l, lo1, hi1 = _timed_batch(cfg_1l, settings_1l, cosmos,
-                                            lins, mode, repeats=5)
-        print(f"# secondary: 1-loop 7z {dt_1l} batch={BATCH}: "
-              f"{per_min_1l:.1f} cosmologies/min (median of 5; spread "
-              f"{lo1:.1f}..{hi1:.1f})", file=sys.stderr)
+        med, lo1, hi1 = _timed_batch(cfg_1l, settings_1l, cosmos,
+                                     lins, mode, repeats=5)
+        _record("secondary_oneloop_nk128", med, lo1, hi1, BATCH,
+                note=f" [{dt_1l} stepping, median of 5]")
 
     # tertiary: the HIGH_ACCURACY grid (nk=512, the reference's
     # high-accuracy tier, redTime.cc:90-94) — the big-grid preset the
     # BASELINE config list names as first-class (round-3 VERDICT item 2).
-    # Small batch: each nk=512 full-TRG solve is seconds-scale.
     if os.environ.get("BENCH_SKIP_HIGHACC") != "1" and backend == "tpu":
-        # batch=chunk=32: the shared int8 packs amortize across lanes —
-        # measured 22.9/min at 4, 29.1 at 8, 35.0 at 16, 37.0 at 32
-        # (median-of-3); the affine cost law T(n) = 4.4ms + 0.72ms*n puts
-        # the asymptote at ~52/min (docs/TPU_NOTES.md nk=512 cost law)
-        n_ha = int(os.environ.get("BENCH_HIGHACC_BATCH", "32"))
+        # batch 64 / chunk 32: the shared int8 packs amortize across
+        # lanes following the measured affine cost law T(n) = 4.4ms +
+        # 0.72ms*n (docs/TPU_NOTES.md "nk=512 cost law"); chunk 32 is
+        # past the knee (43/min law-predicted vs 52/min asymptote) and
+        # batch 64 overlaps the two chunks' host prep with device solve.
+        # Round-4 measured batch=chunk= 16 -> 35.0/min, 32 -> 38.2/min.
+        n_ha = int(os.environ.get("BENCH_HIGHACC_BATCH", "64"))
+        chunk_ha = int(os.environ.get("BENCH_HIGHACC_CHUNK", "32"))
         cfg_ha = SolverConfig.high_accuracy(fft_mode=mode)
-        lin_ha = _example_inputs(cfg_ha)
-        cosmos_ha = jax.tree_util.tree_map(lambda x: x[:n_ha], cosmos)
-        lins_ha = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *([lin_ha] * n_ha))
+        cosmos_ha, lins_ha = _sub_batch(cosmos, lins,
+                                        _example_inputs(cfg_ha), n_ha)
         try:
-            res = driver.run_batch(cfg_ha, settings_full, cosmos_ha,
-                                   lins_ha, mode=mode, max_chunk=n_ha)
-            res.table.block_until_ready()
-            rates_ha = []
-            for _ in range(2):
-                t0 = time.time()
-                res = driver.run_batch(cfg_ha, settings_full, cosmos_ha,
-                                       lins_ha, mode=mode, max_chunk=n_ha)
-                res.table.block_until_ready()
-                rates_ha.append(n_ha / (time.time() - t0) * 60.0)
-            print(f"# tertiary: HIGH_ACCURACY nk=512 full-TRG "
-                  f"{dtype} batch={n_ha}: "
-                  f"{float(np.median(rates_ha)):.1f} cosmologies/min "
-                  f"(spread {min(rates_ha):.1f}..{max(rates_ha):.1f})",
-                  file=sys.stderr)
+            med, lo3, hi3 = _timed_batch(
+                cfg_ha, settings_full, cosmos_ha, lins_ha, mode,
+                repeats=2, n=n_ha, max_chunk=chunk_ha)
+            _record("tertiary_highacc_nk512", med, lo3, hi3, n_ha,
+                    note=f" [chunk {chunk_ha}]")
         except Exception as exc:  # report, never sink the headline
             print(f"# tertiary HIGH_ACCURACY line failed: {exc!r}",
+                  file=sys.stderr)
+
+    # quaternary: the v0.1-compat preset (BASELINE config[3]: nk=256,
+    # np=8nk, wide beta_P range, growth n_lnk=1000, a_early=1e-50,
+    # reference README.md:123-155) at the production switches.
+    if os.environ.get("BENCH_SKIP_V01") != "1" and backend == "tpu":
+        n_v = int(os.environ.get("BENCH_V01_BATCH", "16"))
+        cfg_v = SolverConfig.v01_compat(fft_mode=mode)
+        lin_v = _example_inputs(cfg_v)
+        cosmos_v = jax.tree_util.tree_map(lambda x: x[:n_v], cosmos)
+        lins_v = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *([lin_v] * n_v))
+        try:
+            med, lo4, hi4 = _timed_batch(
+                cfg_v, settings_full, cosmos_v, lins_v, mode,
+                repeats=2, n=n_v, max_chunk=n_v)
+            _record("quaternary_v01compat_nk256", med, lo4, hi4, n_v)
+        except Exception as exc:
+            print(f"# quaternary v01-compat line failed: {exc!r}",
                   file=sys.stderr)
 
     name = (f"cosmologies/min (full Time-RG '1 0 1 1' + TNS, nk=128, "
@@ -215,6 +256,7 @@ def main():
         "value": round(per_min, 2),
         "unit": "cosmologies/min",
         "vs_baseline": round(per_min / BASELINE, 3),
+        "lines": LINES,
     }))
 
 

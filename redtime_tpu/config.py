@@ -64,9 +64,12 @@ class SolverConfig:
     # step-for-step trajectory parity), 'dopri5', or 'dop853' (8th
     # order: at the HIGH_ACCURACY tolerances RKF45's 5th order needs
     # ~260 accepted steps over the eta range while DOP853 converges in
-    # far fewer — the throughput knob for tight-tolerance presets;
-    # both land on the same converged trajectory at erel <= 1e-6,
-    # agreement measured in scripts/probe_nk512_legs.py / test_configs)
+    # far fewer — an accuracy-preset option; at nk=512 it measured
+    # SLOWER end-to-end, see docs/TPU_NOTES.md "Measured dead ends".
+    # All three land on the same converged trajectory at tight erel:
+    # tests/test_configs.py::test_eta_tableau_converges_to_rkf45
+    # pins full-TRG table agreement at erel=1e-8 (spectra < 5e-7
+    # relative, RSD columns < 2e-6 of column scale)
 
     # --- 1-loop mode evaluation redshift (reference redTime.cc:1285) ---
     z1l: float = 10.0
@@ -190,7 +193,13 @@ class SolverConfig:
     # streaming cost — roughly linearly.  At large grids the packs ARE
     # the per-eval cost (nk=512: 2.6 GB full vs ~1.5 GB at 42 bits),
     # so tight-tolerance presets trade ~1e-12 -> ~1e-9-grade engine
-    # noise (still 100x below erel_P=1e-6) for throughput.
+    # noise (still 100x below erel_P=1e-6) for memory.  Accuracy/bytes
+    # contract pinned by tests/test_fastpt_windowed.py::
+    # test_oz_bits_truncation_band; measured on TPU at nk=512/bits=36:
+    # ozaki-vs-dot 1.3e-8, but ~2.8x MORE controller attempts at
+    # erel=1e-6 (the truncation jitter lands in the embedded error
+    # estimate), so it is NOT a speed knob — docs/TPU_NOTES.md
+    # "Measured dead ends".
     oz_budget_bytes: int = 0     # HBM budget for the Ozaki int8 diagonal
     # packs; 0 = auto (fastpt.OZ_AUTO_BUDGET, 6 GB — admits the full
     # nk=512 pack set, ~2.6 GB).  'auto' legs are enabled greedily in

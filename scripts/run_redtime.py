@@ -99,9 +99,16 @@ def write_params(path, name, om_m, om_b, s8, h, ns, w0, wa, om_nu,
         f.write("\n".join(lines) + "\n")
 
 
-def run_model(args, model, z_out):
+def run_model(args, model, z_out, out_prefix: str = "camb"):
     """CAMB two-pass + params emission for one model; returns the params
-    file path (solver runs batched afterwards)."""
+    file path (solver runs batched afterwards).
+
+    out_prefix: per-model CAMB output root.  The reference's serial loop
+    (runRedTimeBatch:91-99) can share one `camb_transfer_z*` root because
+    it SOLVES each model before the next CAMB run overwrites the files;
+    here the whole design solves in one batched call AFTER all the CAMB
+    passes, so multi-model designs must write distinct roots or every
+    params file would read the last model's transfer stack."""
     name, om_m, om_b, s8, h, ns, w0, wa, om_nu = model
     outdir = os.path.abspath(args.output_dir)
     os.makedirs(outdir, exist_ok=True)
@@ -117,18 +124,18 @@ def run_model(args, model, z_out):
                 os.path.abspath(__file__)), "templates", "camb_modern.ini")
         ini = os.path.join(outdir, "temp_camb.ini")
         open(ini, "w").write(make_camb_ini(
-            template, os.path.join(outdir, "camb"), om_b, om_c, om_nu, h,
-            w0, wa, ns, SCALAR_AMP))
+            template, os.path.join(outdir, out_prefix), om_b, om_c, om_nu,
+            h, w0, wa, ns, SCALAR_AMP))
         s8_camb = run_camb(args.camb_exec, ini)
         amp2 = float(SCALAR_AMP) * (s8 / s8_camb) ** 2
         open(ini, "w").write(make_camb_ini(
-            template, os.path.join(outdir, "camb"), om_b, om_c, om_nu, h,
-            w0, wa, ns, repr(amp2)))
+            template, os.path.join(outdir, out_prefix), om_b, om_c, om_nu,
+            h, w0, wa, ns, repr(amp2)))
         run_camb(args.camb_exec, ini)
 
     params_path = os.path.join(outdir, f"params_redTime_{name}.dat")
     write_params(params_path, name, om_m, om_b, s8, h, ns, w0, wa, om_nu,
-                 z_out)
+                 z_out, transfer_root=f"{out_prefix}_transfer_z")
     return params_path
 
 
@@ -165,7 +172,14 @@ def main(argv=None):
     else:
         ap.error("give either --models-file or 9 positional model args")
 
-    params_paths = [run_model(args, m, z_out) for m in models]
+    # per-model transfer roots for multi-model designs (see run_model
+    # docstring); the single-model path keeps the reference's
+    # `camb_transfer_z*` naming (runRedTime:198-219)
+    params_paths = [
+        run_model(args, m, z_out,
+                  out_prefix="camb" if len(models) == 1
+                  else f"camb_{m[0]}")
+        for m in models]
 
     # one vmapped solver invocation over the whole design (replaces the
     # serial runRedTimeBatch loop)

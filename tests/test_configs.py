@@ -104,6 +104,66 @@ def test_v01_compat_preset_runs():
     assert table.shape[1] == 256
 
 
+def test_eta_tableau_converges_to_rkf45():
+    """The eta_tableau knob's contract (config.py eta_tableau docstring):
+    'dopri5' and 'dop853' land on the SAME converged trajectory as the
+    reference's rkf45 (redTime.cc:1593) once erel is tight.  Full-TRG
+    mode (the engine runs inside the RHS) at erel=1e-8: the three
+    embedded pairs take different step sequences but must agree on the
+    output table far below the reference parity band."""
+    import dataclasses
+
+    cfg0 = SolverConfig(nk=32, eabs_P=1e-13, erel_P=1e-8, **SMALL)
+    s = RunSettings(one_loop=False, z_out=(1.0, 0.0))
+    t_ref = _run(cfg0, s)
+    for tab in ("dopri5", "dop853"):
+        t = _run(dataclasses.replace(cfg0, eta_tableau=tab), s)
+        # spectra pointwise
+        for c in (7, 8, 9):
+            rel = np.abs(t[:, :, c] / t_ref[:, :, c] - 1)
+            assert np.max(rel) < 5e-7, (tab, c, np.max(rel))
+        # RSD columns (zero-crossing) at column scale; full-TRG leaves
+        # the PT columns 13-16 at zero in both (the reference caveat)
+        for c in (10, 11, 12):
+            scale = np.max(np.abs(t_ref[:, :, c]))
+            dev = np.max(np.abs(t[:, :, c] - t_ref[:, :, c])) / scale
+            assert dev < 2e-6, (tab, c, dev)
+        assert np.all(t[:, :, 13:17] == 0.0)
+
+
+def test_v01_compat_print_star_through_writer(tmp_path):
+    """BASELINE config[3]: the v0.1-compat preset (reference
+    README.md:123-155) with ALL the PRINT* switches on
+    (PRINTA/PRINTI/PRINTQ/PRINTBIAS, redTime.cc:64-65) end to end
+    through the writer: 84-column extended layout, every value finite,
+    file round-trips the table at format precision."""
+    from redtime_tpu.io.writer import write_result_to_path
+
+    cfg = SolverConfig.v01_compat(print_a=True, print_i=True,
+                                  print_q=True, print_bias=True, **SMALL)
+    settings = RunSettings(one_loop=True, z_out=(1.0, 0.0))
+    cosmo, lin = _toy_inputs()
+    res = driver.run_pipeline(cfg, settings, cosmo, lin, mode="fft")
+    table = np.asarray(res.table)
+    ncol = driver.n_columns(cfg, settings)
+    # k | 6 lin | 3 P | 14 A | 14 I | (5 PB + 9 PT + 8 PMR) | 24 Q
+    assert ncol == 1 + 6 + 3 + 14 + 14 + 22 + 24 == 84
+    assert table.shape == (2, 256, 84)
+    assert np.all(np.isfinite(table))
+    # extended blocks carry signal in 1-loop mode
+    assert np.any(table[:, :, 10:24] != 0)      # A block
+    assert np.any(table[:, :, 38:60] != 0)      # PB/PT/PMR block
+
+    out = tmp_path / "v01_printstar.dat"
+    write_result_to_path(str(out), res, "params_redTime.dat")
+    data = np.loadtxt(str(out))
+    assert data.shape == (2 * 256, 84)
+    assert np.all(np.isfinite(data))
+    direct = table.reshape(-1, 84)
+    scale = np.max(np.abs(direct), axis=0, keepdims=True)
+    assert np.max(np.abs(data - direct) / (scale + 1e-300)) < 1e-10
+
+
 def test_modern_13col_transfer(tmp_path):
     """13-column (pip CAMB) transfer files parse through the same loader."""
     import numpy as np

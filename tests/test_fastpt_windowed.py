@@ -178,6 +178,64 @@ def test_ozaki_q6_wide_grid():
     assert abs(float(out_o[1] - out_d[1])) < 1e-10 * max(scale, 1.0)
 
 
+def test_oz_bits_truncation_band():
+    """The oz_bits knob's contract (config.py oz_bits docstring): pack
+    bytes shrink roughly linearly with the requested mantissa coverage
+    while engine accuracy degrades GRACEFULLY — from the ~1e-12-of-scale
+    full-coverage band into a ~1e-8-grade noise band at truncating
+    settings, still ~100x below the HIGH_ACCURACY erel_P=1e-6 the knob
+    targets.  At nk=64 (q=7 slices) bits=36 keeps the top slices intact
+    (measured 2.5e-12) and bits=24 lands the truncation band (measured
+    3.6e-8); cut arithmetic is monotone in bits."""
+    cfg_d = SolverConfig(nk=64, fft_mode="matmul", out_leg="dot",
+                         tab_leg="dot", pz_leg="dot", fwd_leg="dot")
+    P_ext = _smooth_spectrum(cfg_d)
+    out_d = fastpt.compute_J_PZ_windowed(
+        cfg_d, P_ext, True, "matmul", fastpt.engine_consts(cfg_d, "matmul"))
+    scale = float(jnp.max(jnp.abs(out_d[0])))
+
+    devs, nbytes = {}, {}
+    for bits in (0, 36, 24):
+        cfg = SolverConfig(nk=64, fft_mode="matmul", out_leg="ozaki",
+                           tab_leg="ozaki", pz_leg="ozaki", fwd_leg="ozaki",
+                           oz_bits=bits)
+        nbytes[bits] = sum(fastpt._oz_leg_bytes(cfg).values())
+        out = fastpt.compute_J_PZ_windowed(
+            cfg, P_ext, True, "matmul", fastpt.engine_consts(cfg, "matmul"))
+        devs[bits] = float(jnp.max(jnp.abs(out[0] - out_d[0]))) / scale
+        # the PZ leg's +27-bit cancellation guard keeps the Toeplitz
+        # contraction exact-grade at every tested setting
+        pz_dev = float(jnp.max(jnp.abs(out[2] - out_d[2]))) \
+            / float(jnp.max(jnp.abs(out_d[2])))
+        assert pz_dev < 1e-13, (bits, pz_dev)
+
+    # pack bytes (the engine's HBM streaming cost) shrink monotonically
+    assert nbytes[0] > nbytes[36] > nbytes[24]
+    # full coverage: the round-2/3 exact-grade band
+    assert devs[0] < 1e-10, devs
+    # bits=36 at q=7: top slices intact, still exact-grade
+    assert devs[36] < 1e-10, devs
+    # bits=24: the documented truncation band — well above the full
+    # band (the knob measurably bites) yet ~100x below erel_P=1e-6
+    assert 1e-12 < devs[24] < 5e-7, devs
+
+
+def test_oz_bits_leg_cut_arithmetic():
+    """_leg_cut: 0 = full coverage; monotone non-increasing in the pack
+    cut as bits shrink; never below one diagonal; the per-leg
+    cancellation guards (OZ_EXTRA_OUT/PZ) add to the kept bits."""
+    q = 7
+    full = 15
+    assert fastpt._leg_cut(full, q, 0, 0) == full
+    cuts = [fastpt._leg_cut(full, q, b, 0) for b in (53, 42, 36, 24, 8, 1)]
+    assert all(a >= b for a, b in zip(cuts, cuts[1:]))
+    assert cuts[-1] >= 1
+    assert fastpt._leg_cut(full, q, 24, fastpt.OZ_EXTRA_PZ) \
+        >= fastpt._leg_cut(full, q, 24, 0)
+    # never exceeds full coverage however large the request
+    assert fastpt._leg_cut(full, q, 10_000, 0) == full
+
+
 def test_windowed_fallback_slices_full_path():
     """fft mode has no fused constants: the windowed API must fall back to
     compute_J_PZ + slicing, bit-identically."""

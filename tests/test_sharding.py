@@ -171,6 +171,56 @@ def test_sharded_fulltrg_production(cpu_devices):
     assert np.max(np.abs(c - a) / scale) < 1e-6
 
 
+def test_sharded_fulltrg_flagship_nk128(cpu_devices, example_dir):
+    """The HEADLINE configuration at flagship shape under a mesh
+    (round-4 VERDICT item 5): full-TRG production switches ("1 0 1 1",
+    scripts/runRedTime:100-101) on the bundled massive-nu example's
+    inputs at nk=128, the production 8 output redshifts, 4-device mesh —
+    sharded vs unsharded parity plus the full-TRG output caveat.  The
+    nk=64 test above keeps the fast path; this is the exact benched
+    shape (bench.py headline) on the virtual mesh."""
+    from redtime_tpu import settings_from_params
+    from redtime_tpu.io import read_params_file
+    from redtime_tpu.io.camb import load_from_params
+
+    p = read_params_file(f"{example_dir}/params_redTime.dat")
+    lin = load_from_params(p, example_dir)
+    _, cosmo = settings_from_params(p)
+    settings = RunSettings(
+        one_loop=False,
+        z_out=(2.02, 1.61, 1.01, 0.66, 0.43, 0.24, 0.10, 0.0))
+    n = 4
+    # distinct cosmologies per lane: a replicated batch would hide
+    # lane-crossing bugs in the sharded lowering
+    cosmos = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[cosmo._replace(sigma_8=cosmo.sigma_8 * (1.0 + 0.01 * i))
+          for i in range(n)])
+    lins = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *([lin] * n))
+    cfg = SolverConfig()
+    mesh = Mesh(np.array(cpu_devices[:n]), ("batch",))
+
+    r_plain = run_batch(cfg, settings, cosmos, lins, mode="fft",
+                        prepare_on_host=False)
+    r_shard = run_batch(cfg, settings, cosmos, lins, mode="fft", mesh=mesh,
+                        prepare_on_host=False)
+    a, b = np.asarray(r_plain.table), np.asarray(r_shard.table)
+    assert a.shape == b.shape == (n, 8, 128, 17)
+    assert np.all(np.isfinite(b))
+    scale = np.max(np.abs(a), axis=-2, keepdims=True) + 1e-300
+    # full-TRG roundoff-amplification bar (see the nk=64 test comment)
+    assert np.max(np.abs(a - b) / scale) < 1e-6
+    # lanes really differ (distinct sigma_8)
+    assert not np.allclose(b[0, -1, :, 7], b[1, -1, :, 7])
+    # reference full-TRG caveat at flagship shape: PT columns zero,
+    # A columns (evolved Q) populated (redTime.cc:1646)
+    assert np.all(b[..., 13:17] == 0.0)
+    assert np.any(b[..., 10:13] != 0.0)
+    # the output really is sharded
+    sh = r_shard.table.sharding
+    assert isinstance(sh, NamedSharding) and sh.spec == P("batch")
+
+
 def test_sharded_output_layout(cpu_devices):
     n = 4
     cfg, settings, cosmos, lins = _tiny_setup(n)
