@@ -86,6 +86,11 @@ def main():
     ap.add_argument("--bits", type=int, default=0)
     ap.add_argument("--preset", default="high-accuracy",
                     choices=("high-accuracy", "v01-compat", "default"))
+    ap.add_argument("--attempts", type=int, default=267,
+                    help="lockstep-max step attempts for the implied "
+                    "end-to-end ceiling (267 = nk=512 preset tolerances, "
+                    "probe_nk512_legs; measure with probe_nk512_legs "
+                    "--attempts for other presets)")
     args = ap.parse_args()
 
     backend = jax.default_backend()
@@ -143,7 +148,7 @@ def main():
               f"measured {dt * 1e3:.1f} ms, HBM efficiency "
               f"{sol / dt * 100:.0f}%")
         # implied end-to-end ceiling at the lockstep attempt count
-        attempts = 267  # probe_nk512_legs measured (chunk 4, design batch)
+        attempts = args.attempts
         ceiling = chunk / (attempts * 6 * sol) * 60
         meas = chunk / (attempts * 6 * dt) * 60
         print(f"           implied solve-only: SoL {ceiling:.0f}/min, "
