@@ -232,9 +232,13 @@ def cmd_batch(args) -> int:
     t0 = time.time()
     with device_trace(args.trace_dir):
         with timer.stage("solve-batch"):
+            seg_breaks = (tuple(float(b) for b in
+                                args.seg_breaks.split(",") if b)
+                          if args.seg_breaks else None)
             res = run_batch(cfg, settings, cosmos, lins, mode=args.mode,
                             mesh=mesh, scheduler=args.scheduler,
-                            max_chunk=args.chunk, n_lanes=args.lanes)
+                            max_chunk=args.chunk, n_lanes=args.lanes,
+                            seg_breaks=seg_breaks)
             res.table.block_until_ready()
     dt = time.time() - t0
 
@@ -344,16 +348,23 @@ def main(argv=None) -> int:
     b.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace here")
     b.add_argument("--scheduler", default="auto",
-                   choices=["auto", "chunked", "packed"],
+                   choices=["auto", "chunked", "packed", "segmented"],
                    help="batch scheduler: 'chunked' overlaps host "
                    "prepare with device solves (default), 'packed' is "
                    "the work-queue scheduler for stiffness-heterogeneous "
-                   "designs (lanes pull models as they finish)")
+                   "designs (lanes pull models as they finish), "
+                   "'segmented' issues one device program per output "
+                   "interval so big-grid chunks can grow past the "
+                   "tunnel's single-dispatch wall (nk=512)")
     b.add_argument("--chunk", type=int, default=None,
-                   help="chunked-scheduler sub-batch size "
-                   "(default: 16 full-TRG / 32 one-loop on accelerators)")
+                   help="chunked/segmented-scheduler sub-batch size "
+                   "(default: 16 full-TRG / 32 one-loop on accelerators; "
+                   "segmented default 64)")
     b.add_argument("--lanes", type=int, default=None,
                    help="packed-scheduler lane count (default 8)")
+    b.add_argument("--seg-breaks", default=None,
+                   help="segmented-scheduler extra eta breakpoints "
+                   "(comma list) subdividing long intervals")
     b.set_defaults(fn=cmd_batch)
 
     cv = sub.add_parser("convert",

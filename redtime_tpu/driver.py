@@ -302,6 +302,154 @@ def _jitted_solve_packed(cfg: SolverConfig, settings: RunSettings,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_seg_init(cfg: SolverConfig, settings: RunSettings):
+    return jax.jit(jax.vmap(
+        lambda m: trg.evolve_init(cfg, settings, m)))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_solve_segment(cfg: SolverConfig, settings: RunSettings,
+                          mode: str, mesh=None, axis: str = "batch"):
+    """One output-interval step of the segmented scheduler, vmapped over
+    the chunk.  t0/t1 are traced scalars, so one executable serves every
+    interval of the solve."""
+    def seg(m, ec, y, h, t0, t1):
+        return trg.evolve_segment(cfg, settings, m, y, h, t0, t1, mode, ec)
+
+    fn = jax.vmap(seg, in_axes=(0, None, 0, 0, None, None))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P(axis))
+        return jax.jit(fn, out_shardings=(sh, sh))
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_finalize_batch(cfg: SolverConfig, settings: RunSettings,
+                           mode: str, mesh=None, axis: str = "batch"):
+    fn = jax.vmap(lambda m, ys, ec: _finalize(cfg, settings, m, ys,
+                                              mode, ec),
+                  in_axes=(0, 0, None))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.jit(fn, out_shardings=NamedSharding(mesh, P(axis)))
+    return jax.jit(fn)
+
+
+def _run_batch_segmented(cfg: SolverConfig, settings: RunSettings,
+                         cs: CosmoParams, lins, mode: str,
+                         norm_override=None, mesh=None,
+                         axis: str = "batch",
+                         max_chunk: int | None = None,
+                         seg_breaks=None) -> RunResult:
+    """Dispatch-bounded chunked batch: same math as the chunked scheduler,
+    but each chunk's device work is issued as ONE PROGRAM PER OUTPUT
+    INTERVAL (trg.evolve_segment) instead of one program for the whole
+    solve.
+
+    Why: on the axon TPU tunnel a single device program running longer
+    than ~60-100 s faults the worker (measured round 5 at nk=512:
+    chunk-64 and packed-64 single-program solves fault reproducibly
+    while back-to-back ~50 s chunk-32 programs run fine), which caps the
+    one-program chunked scheduler at chunk 32 on the HIGH_ACCURACY grid.
+    Splitting at the output boundaries keeps every program under the
+    wall while the chunk size keeps amortizing the 2.6 GB shared Ozaki
+    packs along the measured affine cost law T(n) = 4.4 ms + 0.72 ms*n
+    (docs/TPU_NOTES.md).  The interval programs queue back-to-back
+    asynchronously, so the extra dispatches cost only enqueue latency.
+
+    seg_breaks: optional extra eta breakpoints inserted into the
+    interval list (the z_in -> z_out[0] span holds ~70% of the step
+    attempts at tight tolerances; subdividing it bounds the worst
+    program).  Breakpoints only clip controller steps — the same
+    mechanism as output times — so accuracy is unchanged.
+    """
+    dev = _target_device()
+    n = _batch_size(cs)
+    if max_chunk is None:
+        max_chunk = (int(os.environ.get("REDTIME_MAX_CHUNK", "64"))
+                     if dev.platform != "cpu" else n)
+    if mesh is not None and max_chunk % mesh.devices.size != 0:
+        max_chunk = max_chunk - (max_chunk % mesh.devices.size) \
+            or mesh.devices.size
+    if n > max_chunk:
+        tonp = lambda x: np.asarray(x)
+        cs = jax.tree_util.tree_map(tonp, cs)
+        lins = jax.tree_util.tree_map(tonp, lins)
+        nrm_np = (None if norm_override is None
+                  else np.asarray(norm_override))
+        outs = []
+        for i0 in range(0, n, max_chunk):
+            take = lambda x: x[i0:i0 + max_chunk]
+            ccs = jax.tree_util.tree_map(take, cs)
+            cls_ = jax.tree_util.tree_map(take, lins)
+            cnrm = None if nrm_np is None else take(nrm_np)
+            pad = max_chunk - _batch_size(ccs)
+            if pad:
+                grow = lambda x: np.concatenate(
+                    [x, np.repeat(x[:1], pad, axis=0)], axis=0)
+                ccs = jax.tree_util.tree_map(grow, ccs)
+                cls_ = jax.tree_util.tree_map(grow, cls_)
+                cnrm = None if cnrm is None else grow(cnrm)
+            outs.append(_run_batch_segmented(
+                cfg, settings, ccs, cls_, mode, cnrm, mesh, axis,
+                max_chunk, seg_breaks))
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0)[:n], *outs)
+
+    pad = 0
+    if mesh is not None:
+        nd = mesh.devices.size
+        pad = (-n) % nd
+        if pad:
+            grow = lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+            cs = jax.tree_util.tree_map(grow, cs)
+            lins = jax.tree_util.tree_map(grow, lins)
+            if norm_override is not None:
+                norm_override = grow(jnp.asarray(norm_override))
+    wn = norm_override is not None
+    nrm = (jnp.asarray(norm_override),) if wn else ()
+    if dev.platform != "cpu" or mesh is not None:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            ms = _jitted_prepare(cfg, True, wn)(
+                jax.device_put(cs, cpu), jax.device_put(lins, cpu),
+                *jax.device_put(nrm, cpu))
+            jax.block_until_ready(ms)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ms = jax.device_put(ms, NamedSharding(mesh, P(axis)))
+            ec = _device_ec(cfg, mode, NamedSharding(mesh, P()))
+        else:
+            ms = jax.device_put(ms, dev)
+            ec = _device_ec(cfg, mode, dev)
+    else:
+        ms = _jitted_prepare(cfg, True, wn)(cs, lins, *nrm)
+        ec = _device_ec(cfg, mode, dev)
+
+    y, h = _jitted_seg_init(cfg, settings)(ms)
+    seg_fn = _jitted_solve_segment(cfg, settings, mode, mesh, axis)
+    etasteps = np.asarray(settings.etasteps())
+    bounds = np.concatenate([[0.0], etasteps])
+    breaks = sorted(set(float(b) for b in (seg_breaks or ())))
+    states = []
+    for i in range(len(etasteps)):
+        t0, t1 = float(bounds[i]), float(bounds[i + 1])
+        inner = [b for b in breaks if t0 < b < t1]
+        for a0, a1 in zip([t0] + inner, inner + [t1]):
+            y, h = seg_fn(ms, ec, y, h, jnp.asarray(a0), jnp.asarray(a1))
+        states.append(y)
+    ys = jnp.stack(states, axis=1)          # [n, n_eta, NU_STATE*nk]
+    ys = ys.reshape(ys.shape[0], len(etasteps), trg.NU_STATE, -1)
+    res = _jitted_finalize_batch(cfg, settings, mode, mesh, axis)(
+        ms, ys, ec)
+    if pad:
+        res = jax.tree_util.tree_map(lambda x: x[:n], res)
+    return res
+
+
 def run_pipeline(cfg: SolverConfig, settings: RunSettings, c: CosmoParams,
                  lin: LinearData, mode: str = "auto",
                  use_jit: bool = True,
@@ -458,7 +606,8 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
               prepare_on_host: bool | None = None,
               max_chunk: int | None = None,
               norm_override=None, scheduler: str = "auto",
-              n_lanes: int | None = None) -> RunResult:
+              n_lanes: int | None = None,
+              seg_breaks=None) -> RunResult:
     """Batched pipeline: vmap over stacked cosmologies, optionally sharded
     over a device mesh along the batch axis (embarrassingly parallel — the
     Time-RG math has no cross-cosmology coupling, so the only communication
@@ -483,6 +632,13 @@ def run_batch(cfg: SolverConfig, settings: RunSettings, cs: CosmoParams,
     if scheduler == "packed":
         return _run_batch_packed(cfg, settings, cs, lins, mode,
                                  norm_override, mesh, axis, n_lanes)
+    if scheduler == "segmented":
+        return _run_batch_segmented(cfg, settings, cs, lins, mode,
+                                    norm_override, mesh, axis, max_chunk,
+                                    seg_breaks)
+    if scheduler != "chunked":
+        raise ValueError(f"unknown scheduler {scheduler!r}; choose "
+                         "'auto', 'chunked', 'packed', or 'segmented'")
     if max_chunk is None:
         max_chunk = int(os.environ.get("REDTIME_MAX_CHUNK",
                                        _default_chunk(settings))) \

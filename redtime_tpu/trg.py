@@ -278,6 +278,59 @@ def eta_tableau(cfg: SolverConfig):
             "dop853": DOP853}[cfg.eta_tableau]
 
 
+def _cast_stepping(cfg: SolverConfig, model, cache, ec):
+    """float32 throughput mode: cast the stepping inputs (see evolve)."""
+    jdt = cfg.jdtype
+    cast = lambda x: (x.astype(jdt)
+                      if hasattr(x, "dtype")
+                      and jnp.issubdtype(x.dtype, jnp.floating) else x)
+    model = jax.tree_util.tree_map(cast, model)
+    cache = jax.tree_util.tree_map(cast, cache)
+    if ec is not None:
+        ec = jax.tree_util.tree_map(cast, ec)
+    return model, cache, ec
+
+
+def evolve_init(cfg: SolverConfig, settings: RunSettings,
+                model: mdl.Model):
+    """Initial (y, h) carry for the segmented-dispatch path — exactly the
+    state `evolve` hands its segment scan (y in the stepping dtype, h the
+    reference's 1e-2*eta_fin suggestion as an f64 scalar)."""
+    y = initial_state(cfg, settings, model)
+    if cfg.dtype != "float64":
+        y = y.astype(cfg.jdtype)
+    eta_fin = float(np.log(1.0 / settings.a_in))
+    return y, jnp.asarray(1e-2 * eta_fin)
+
+
+def evolve_segment(cfg: SolverConfig, settings: RunSettings,
+                   model: mdl.Model, y, h, t0, t1,
+                   mode: str = "auto", ec=None):
+    """One output-interval integrate — the body of `evolve`'s segment scan
+    as a standalone jittable (t0/t1 traced, so ONE compiled program serves
+    every interval).
+
+    The driver's segmented scheduler dispatches this once per interval:
+    on the axon TPU tunnel a single device program running longer than
+    ~60-100 s faults the worker (measured round 5, docs/TPU_NOTES.md
+    "dispatch-duration wall"), which caps the one-program chunked solve
+    at chunk 32 for nk=512.  Per-interval programs queue back-to-back
+    asynchronously and stay under the wall while the chunk size keeps
+    amortizing the shared Ozaki packs.
+
+    In 1-loop mode the A/R/PT cache is rebuilt inside each interval
+    program (one extra engine evaluation per interval — negligible next
+    to the stepping cost, and the cache is a pure function of the model).
+    """
+    cache = (build_oneloop_cache(cfg, settings, model, mode, ec)
+             if settings.nonlinear and settings.one_loop else None)
+    if cfg.dtype != "float64":
+        model, cache, ec = _cast_stepping(cfg, model, cache, ec)
+    rhs = make_rhs(cfg, settings, model, cache, mode, ec)
+    return integrate_interval(rhs, t0, t1, y, h, cfg.eabs_P, cfg.erel_P,
+                              eta_tableau(cfg))
+
+
 def evolve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
            mode: str = "auto", ec=None):
     """Integrate the Time-RG system through all output redshifts.
@@ -296,15 +349,8 @@ def evolve(cfg: SolverConfig, settings: RunSettings, model: mdl.Model,
         # float32 throughput mode: the cache/outputs stay f64-accurate
         # (the FAST-PT assemblies carry strong cancellations); only the
         # time stepping — the dominant cost — runs in f32
-        jdt = cfg.jdtype
-        cast = lambda x: (x.astype(jdt)
-                          if hasattr(x, "dtype")
-                          and jnp.issubdtype(x.dtype, jnp.floating) else x)
-        model = jax.tree_util.tree_map(cast, model)
-        cache = jax.tree_util.tree_map(cast, cache)
-        if ec is not None:
-            ec = jax.tree_util.tree_map(cast, ec)
-        y = y.astype(jdt)
+        model, cache, ec = _cast_stepping(cfg, model, cache, ec)
+        y = y.astype(cfg.jdtype)
     rhs = make_rhs(cfg, settings, model, cache, mode, ec)
     eta_fin = float(np.log(1.0 / settings.a_in))
     h = 1e-2 * eta_fin

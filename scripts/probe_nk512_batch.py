@@ -69,6 +69,12 @@ def main():
     ap.add_argument("--packed-lanes", default="",
                     help="comma list of lane counts for the packed A/B "
                     "(empty = skip)")
+    ap.add_argument("--segmented-points", default="",
+                    help="comma list of batch:chunk points for the "
+                    "segmented (per-interval dispatch) scheduler")
+    ap.add_argument("--seg-breaks", default="",
+                    help="comma list of extra eta breakpoints for the "
+                    "segmented scheduler (bounds the worst program)")
     ap.add_argument("--batch", type=int, default=64,
                     help="batch size for the packed A/B")
     ap.add_argument("--repeats", type=int, default=2)
@@ -85,7 +91,10 @@ def main():
     points = [tuple(int(x) for x in p.split(":"))
               for p in args.points.split(",") if p]
     lanes_list = [int(x) for x in args.packed_lanes.split(",") if x]
-    nmax = max([b for b, _ in points] + [args.batch if lanes_list else 0])
+    seg_b = [int(p.split(":")[0])
+             for p in args.segmented_points.split(",") if p]
+    nmax = max([b for b, _ in points] + seg_b
+               + [args.batch if lanes_list else 0])
     rows = design.models_from_unit_cube(
         design.latin_hypercube(nmax, seed=42))
     cosmos_all = jax.tree_util.tree_map(
@@ -111,6 +120,19 @@ def main():
                                 scheduler="packed", n_lanes=lanes)
         print(f"packed  batch {args.batch:3d} lanes {lanes:3d}: "
               f"{med:6.1f}/min (spread {lo:.1f}..{hi:.1f})")
+
+    seg_points = [tuple(int(x) for x in p.split(":"))
+                  for p in args.segmented_points.split(",") if p]
+    breaks = tuple(float(b) for b in args.seg_breaks.split(",") if b) \
+        or None
+    for batch, chunk in seg_points:
+        cosmos, lins = sub(batch)
+        med, lo, hi = timed_e2e(cfg, settings, cosmos, lins, mode, batch,
+                                args.repeats, scheduler="segmented",
+                                max_chunk=chunk, seg_breaks=breaks)
+        print(f"segmented batch {batch:3d} chunk {chunk:3d} "
+              f"breaks {breaks}: {med:6.1f}/min "
+              f"(spread {lo:.1f}..{hi:.1f})")
 
 
 if __name__ == "__main__":
