@@ -206,23 +206,30 @@ def main():
     # high-accuracy tier, redTime.cc:90-94) — the big-grid preset the
     # BASELINE config list names as first-class (round-3 VERDICT item 2).
     if os.environ.get("BENCH_SKIP_HIGHACC") != "1" and backend == "tpu":
-        # batch 64 / chunk 32: the shared int8 packs amortize across
-        # lanes following the measured affine cost law T(n) = 4.4ms +
-        # 0.72ms*n (docs/TPU_NOTES.md "nk=512 cost law"); chunk 32 is
-        # past the knee (43/min law-predicted vs 52/min asymptote) and
-        # batch 64 overlaps the two chunks' host prep with device solve.
-        # Round-4 measured batch=chunk= 16 -> 35.0/min, 32 -> 38.2/min.
-        n_ha = int(os.environ.get("BENCH_HIGHACC_BATCH", "64"))
+        # batch=chunk=32: the best config the axon runtime permits for a
+        # ONE-PROGRAM solve — the single-dispatch duration wall faults
+        # any ~100 s program, so chunk cannot grow past 32, and batch 64
+        # / chunk 32 measured 37.5/min vs 38.2 at 32/32 (prep overlap is
+        # negligible at this grid).  See docs/TPU_NOTES.md "single-
+        # dispatch duration wall"; the segmented scheduler (chunk>=48
+        # under the wall) is benched by BENCH_HIGHACC_SEGMENTED=1.
+        n_ha = int(os.environ.get("BENCH_HIGHACC_BATCH", "32"))
         chunk_ha = int(os.environ.get("BENCH_HIGHACC_CHUNK", "32"))
+        sched_ha = os.environ.get("BENCH_HIGHACC_SCHED", "chunked")
+        breaks_ha = tuple(
+            float(b) for b in
+            os.environ.get("BENCH_HIGHACC_BREAKS", "").split(",") if b) \
+            or None
         cfg_ha = SolverConfig.high_accuracy(fft_mode=mode)
         cosmos_ha, lins_ha = _sub_batch(cosmos, lins,
                                         _example_inputs(cfg_ha), n_ha)
         try:
             med, lo3, hi3 = _timed_batch(
                 cfg_ha, settings_full, cosmos_ha, lins_ha, mode,
-                repeats=2, n=n_ha, max_chunk=chunk_ha)
+                repeats=2, n=n_ha, max_chunk=chunk_ha,
+                scheduler=sched_ha, seg_breaks=breaks_ha)
             _record("tertiary_highacc_nk512", med, lo3, hi3, n_ha,
-                    note=f" [chunk {chunk_ha}]")
+                    note=f" [chunk {chunk_ha}, {sched_ha}]")
         except Exception as exc:  # report, never sink the headline
             print(f"# tertiary HIGH_ACCURACY line failed: {exc!r}",
                   file=sys.stderr)
